@@ -1,0 +1,120 @@
+"""Benchmark: decoded shots/sec/chip on [[144,12,12]] (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md) and
+numba is not installed here, so the single-core Numba baseline is estimated
+as (pure-python per-trial decode rate measured on this host) x 75 — the
+midpoint of the reference's own claimed 50-100x Numba speedup
+(reference src/noise/__init__.py:6). A trial = Z + X decode at maxIter=20.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def estimate_python_baseline(H, prior, syndromes, maxIter=20) -> float:
+    """Single-core pure-python normalized-min-sum trials/sec (scalar loop,
+    mirroring the reference's per-trial decode structure)."""
+    H = np.asarray(H) != 0
+    m, n = H.shape
+    rows = [np.nonzero(H[i])[0] for i in range(m)]
+    t0 = time.time()
+    ntr = 0
+    for syndrome in syndromes:
+        sgn_syn = 1.0 - 2.0 * syndrome
+        Q = {(i, j): prior[j] for i in range(m) for j in rows[i]}
+        for it in range(maxIter):
+            alpha = 1.0 - 2.0 ** (-(it + 1))
+            Rsum = np.zeros(n)
+            R = {}
+            for i in range(m):
+                if not len(rows[i]):
+                    continue
+                sgn = sgn_syn[i]
+                m1 = m2 = np.inf
+                i1 = -1
+                for j in rows[i]:
+                    v = Q[(i, j)]
+                    sgn *= 1.0 if v >= 0 else -1.0
+                    a = abs(v)
+                    if a < m1:
+                        m2, m1, i1 = m1, a, j
+                    elif a < m2:
+                        m2 = a
+                for j in rows[i]:
+                    v = Q[(i, j)]
+                    sj = 1.0 if v >= 0 else -1.0
+                    R[(i, j)] = alpha * sgn * sj * (m2 if j == i1 else m1)
+                    Rsum[j] += R[(i, j)]
+            values = Rsum + prior
+            for i in range(m):
+                for j in rows[i]:
+                    Q[(i, j)] = np.clip(values[j] - R[(i, j)], -20, 20)
+            hard = (values < 0).astype(np.int8)
+            if np.array_equal((H @ hard) % 2, syndrome):
+                break
+        ntr += 1
+    return ntr / (time.time() - t0)
+
+
+def main():
+    import jax
+
+    from qldpc_tpu import (SyndromeCircuit, build_decoding_matrices, get_code)
+    from qldpc_tpu.ops.bp import alpha_schedule
+    from qldpc_tpu.parallel.engine import _make_basis, make_round_fn
+    from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
+                                         save_matrices)
+
+    code = get_code("[[144, 12, 12]]")
+    cycles, p = 12, 0.004
+    circ = SyndromeCircuit(code, num_cycles=cycles)
+    key_c = compute_cache_key(code.Hx, code.Hz, code.Lx, code.Lz, cycles, p)
+    M = load_matrices("matrix_cache", key_c)
+    if M is None:
+        M = build_decoding_matrices(circ, code.Lx, code.Lz, p)
+        save_matrices("matrix_cache", key_c, M)
+
+    import os
+    maxIter, osd_order = 20, 2
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    seq = alpha_schedule("dynamical", maxIter)
+    dec_z = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
+    dec_x = _make_basis(circ, M, "X", seq, osd_order=osd_order)
+    fn = jax.jit(make_round_fn(dec_z, dec_x, circ.num_error_locs, p, batch,
+                               maxIter, osd_order))
+    key = jax.random.key(0)
+    jax.block_until_ready(fn(key))  # compile + warm
+    t0 = time.time()
+    rounds = 0
+    while time.time() - t0 < 10.0 or rounds < 3:
+        jax.block_until_ready(fn(jax.random.fold_in(key, rounds)))
+        rounds += 1
+    dt = time.time() - t0
+    shots_per_sec = rounds * batch / dt
+
+    # single-core baseline estimate (few trials, scalar python)
+    H = (np.asarray(M["HdecZ"]) != 0).astype(np.uint8)
+    from qldpc_tpu.models.builder import channel_llrs
+    prior = channel_llrs(M["channel_probsZ"])
+    rng = np.random.default_rng(0)
+    errs = (rng.random((2, H.shape[1])) < M["channel_probsZ"]).astype(np.int8)
+    syns = (errs @ H.T) % 2
+    py_rate = estimate_python_baseline(H, prior, syns, maxIter)
+    # a reference trial decodes BOTH bases; python measurement is one basis
+    numba_est = (py_rate / 2.0) * 75.0
+
+    print(json.dumps({
+        "metric": "decoded_shots_per_sec_per_chip_[[144,12,12]]",
+        "value": round(shots_per_sec, 1),
+        "unit": "shots/s",
+        "vs_baseline": round(shots_per_sec / numba_est, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

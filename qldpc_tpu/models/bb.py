@@ -151,6 +151,63 @@ CODE_REGISTRY: Dict[str, dict] = {
 }
 
 
+@dataclasses.dataclass
+class RawCSSCode:
+    """A CSS code given only by its parity-check (and optional logical)
+    matrices — no polynomial structure. The circuit builder then derives
+    CNOT neighbor directions from the Hx/Hz rows directly (the reference's
+    fallback path, bb_code.py:132-151)."""
+
+    Hx: np.ndarray
+    Hz: np.ndarray
+    Lx: np.ndarray = None
+    Lz: np.ndarray = None
+    name: str = "raw"
+    has_component_params = False
+
+    def __post_init__(self):
+        self.Hx = (np.asarray(self.Hx) % 2).astype(np.uint8)
+        self.Hz = (np.asarray(self.Hz) % 2).astype(np.uint8)
+        if self.Lx is None:
+            self.Lx, self.Lz = gf2.css_logical_ops(self.Hx, self.Hz)
+        else:
+            self.Lx = (np.asarray(self.Lx) % 2).astype(np.uint8)
+            self.Lz = (np.asarray(self.Lz) % 2).astype(np.uint8)
+
+    @property
+    def n(self) -> int:
+        return int(self.Hx.shape[1])
+
+    @property
+    def n2(self) -> int:
+        return self.n // 2
+
+    @property
+    def k(self) -> int:
+        return int(self.Lx.shape[0])
+
+
+def make_code(Hx, Hz, Lx=None, Lz=None, **bb_params):
+    """Build a code object from raw matrices, using polynomial metadata when
+    provided (``ell, m, a_x_powers, ...`` — the reference's npz keys)."""
+    if bb_params.get("ell") is not None and bb_params.get("m") is not None:
+        code = BBCode(
+            name=bb_params.get("name", "custom"),
+            ell=int(bb_params["ell"]), m=int(bb_params["m"]),
+            a_x_powers=list(np.atleast_1d(bb_params.get("a_x_powers", []))),
+            a_y_powers=list(np.atleast_1d(bb_params.get("a_y_powers", []))),
+            b_y_powers=list(np.atleast_1d(bb_params.get("b_y_powers", []))),
+            b_x_powers=list(np.atleast_1d(bb_params.get("b_x_powers", []))),
+            distance=int(bb_params.get("distance", 0)),
+            Hx=(np.asarray(Hx) % 2).astype(np.uint8),
+            Hz=(np.asarray(Hz) % 2).astype(np.uint8),
+            Lx=None if Lx is None else (np.asarray(Lx) % 2).astype(np.uint8),
+            Lz=None if Lz is None else (np.asarray(Lz) % 2).astype(np.uint8),
+        )
+        return code
+    return RawCSSCode(Hx=Hx, Hz=Hz, Lx=Lx, Lz=Lz)
+
+
 def get_code(name: str) -> BBCode:
     """Build a registry code by name, e.g. ``get_code("[[144, 12, 12]]")``."""
     if name not in CODE_REGISTRY:

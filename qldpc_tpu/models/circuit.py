@@ -76,19 +76,35 @@ class SyndromeCircuit:
     # ------------------------------------------------------------------
     def _compute_neighbors(self):
         """nbs_x[i, d] / nbs_z[i, d]: global data-qubit index of the d-th
-        neighbor of X/Z check i (directions 0-2: left block, 3-5: right)."""
+        neighbor of X/Z check i (directions 0-2: left block, 3-5: right).
+
+        With polynomial components, directions come from A1-A3/B1-B3 rows;
+        without, they fall back to the first three nonzeros of each Hx/Hz
+        row half (reference bb_code.py:106-151 implements both paths)."""
         c = self.code
         n2 = self.n2
         self.nbs_x = np.zeros((n2, 6), dtype=np.int32)
         self.nbs_z = np.zeros((n2, 6), dtype=np.int32)
-        A = c.A_components()
-        B = c.B_components()
-        for i in range(n2):
-            for d in range(3):
-                self.nbs_x[i, d] = self.dl_off + _first_nonzero_or_zero(A[d][i])
-                self.nbs_x[i, 3 + d] = self.dr_off + _first_nonzero_or_zero(B[d][i])
-                self.nbs_z[i, d] = self.dl_off + _first_nonzero_or_zero(B[d].T[i])
-                self.nbs_z[i, 3 + d] = self.dr_off + _first_nonzero_or_zero(A[d].T[i])
+        if getattr(c, "has_component_params", True):
+            A = c.A_components()
+            B = c.B_components()
+            for i in range(n2):
+                for d in range(3):
+                    self.nbs_x[i, d] = self.dl_off + _first_nonzero_or_zero(A[d][i])
+                    self.nbs_x[i, 3 + d] = self.dr_off + _first_nonzero_or_zero(B[d][i])
+                    self.nbs_z[i, d] = self.dl_off + _first_nonzero_or_zero(B[d].T[i])
+                    self.nbs_z[i, 3 + d] = self.dr_off + _first_nonzero_or_zero(A[d].T[i])
+        else:
+            for i in range(n2):
+                for half, off, nbs in ((c.Hx, None, self.nbs_x),
+                                       (c.Hz, None, self.nbs_z)):
+                    row = half[i]
+                    left = np.nonzero(row[:n2])[0][:3]
+                    right = np.nonzero(row[n2:])[0][:3]
+                    for d, idx in enumerate(left):
+                        nbs[i, d] = self.dl_off + idx
+                    for d, idx in enumerate(right):
+                        nbs[i, 3 + d] = self.dr_off + idx
 
     # ------------------------------------------------------------------
     def _build_cycle(self):

@@ -60,6 +60,16 @@ def propagate_batch(
     else:
         raise ValueError(basis)
 
+    try:
+        from ..native.build import propagate_frames_native
+        native = propagate_frames_native(
+            ops, q1, q2, cnot_dst_is_q1, op_prep, op_meas, total_qubits,
+            num_meas, inj_pos, inj_q, inj_bit, nbatch)
+        if native is not None:
+            return native
+    except Exception:  # pragma: no cover - toolchain issues fall through
+        pass
+
     W = (nbatch + 63) // 64
     state = np.zeros((total_qubits, W), dtype=np.uint64)
     syn = np.zeros((num_meas, W), dtype=np.uint64)

@@ -210,3 +210,43 @@ def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
     # the loop ran to maxIter — which it did unless all shots converged.
     return dict(hard=cand.T.astype(jnp.int8), converged=done,
                 values=vals.T, iterations=iters)
+
+
+@partial(jax.jit, static_argnames=("advance_iters", "damping"))
+def harvest_messages(graph: TannerGraph, syndrome, prior, alpha_seq,
+                     advance_iters: int, damping: float = 1.0,
+                     clip_llr: float = 20.0):
+    """Advance BP ``advance_iters`` iterations (NO convergence exit —
+    calibration advances state unconditionally, reference alpha.py:219-244),
+    then run one unscaled (alpha=1) check pass and return its messages.
+
+    Returns (R_rows (m, dr, B) unscaled messages, edge column ids (m, dr)).
+    Used by Alvarado / autoregressive-Alvarado alpha estimation, which
+    buckets messages by the true bit value of the edge's column.
+    """
+    B = syndrome.shape[0]
+    syn = syndrome.T.astype(jnp.int32)
+    sgn_syn = (1.0 - 2.0 * syn).astype(jnp.float32)
+    prior = prior.astype(jnp.float32)
+    mask3 = graph.row_mask[:, :, None]
+    prior_pad = jnp.concatenate([prior, jnp.zeros((1,), jnp.float32)])
+    Q = jnp.take(prior_pad, graph.row_cols.reshape(-1), axis=0)
+    Q = jnp.broadcast_to(Q.reshape(graph.m, graph.dr, 1),
+                         (graph.m, graph.dr, B))
+    Q = jnp.where(mask3, Q, _BIG)
+
+    def body(it, carry):
+        Q, Qold = carry
+        R = _check_update(Q, sgn_syn, alpha_seq[it])
+        _, Q_new = _variable_update(R, prior, graph, mask3)
+        Q_new = jnp.clip(Q_new, -clip_llr, clip_llr)
+        if damping != 1.0:
+            Q_new = jnp.clip(damping * Q_new + (1.0 - damping) * Qold,
+                             -clip_llr, clip_llr)
+        Q_new = jnp.where(mask3, Q_new, _BIG)
+        return Q_new, Q_new
+
+    if advance_iters > 0:
+        Q, _ = jax.lax.fori_loop(0, advance_iters, body, (Q, Q))
+    R = _check_update(Q, sgn_syn, jnp.float32(1.0))
+    return R, graph.row_cols

@@ -1,0 +1,187 @@
+"""Data-driven min-sum calibration: Alvarado alpha, autoregressive alpha,
+and SCOPT beta.
+
+TPU-first reformulation of the reference's per-trial estimation loops
+(reference src/decoding/alpha.py:84-276, src/decoding/scopt.py:8-177):
+all ``trials`` iid error samples are drawn, propagated to syndromes, and
+message-harvested as ONE batched BP computation per estimation point; only
+the histogram + linear fit run host-side (scipy curve_fit, exactly the
+reference's log(f0/f1) = alpha * lambda model, alpha.py:29-66).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .bp import TannerGraph, alpha_schedule, decode_batch, harvest_messages
+
+
+def _fit_log_ratio(x0, x1, bins: int, flip: bool = False,
+                   plot_path: Optional[str] = None, title: str = ""):
+    """Histogram two sample sets, fit log(f0/f1) = a*x (or f1/f0 with
+    flip=True), return (a, r2). Reference alpha.py:9-66 / scopt.py:141-160."""
+    from scipy.optimize import curve_fit
+
+    x0 = np.asarray(x0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    x0 = x0[np.isfinite(x0)]
+    x1 = x1[np.isfinite(x1)]
+    if x0.size == 0 or x1.size == 0:
+        raise ValueError("No finite samples for calibration fit")
+    rng = (min(x0.min(), x1.min()), max(x0.max(), x1.max()))
+    h0, edges = np.histogram(x0, bins=bins, range=rng, density=True)
+    h1, _ = np.histogram(x1, bins=bins, range=rng, density=True)
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    valid = (h0 > 0) & (h1 > 0)
+    if not np.any(valid):
+        raise ValueError("No overlapping histogram bins for calibration fit")
+    xs = centers[valid]
+    ys = (np.log(h1[valid] / h0[valid]) if flip
+          else np.log(h0[valid] / h1[valid]))
+    popt, _ = curve_fit(lambda x, a: a * x, xs, ys)
+    a = float(popt[0])
+    fit = a * xs
+    ss_res = np.sum((ys - fit) ** 2)
+    ss_tot = np.sum((ys - np.mean(ys)) ** 2)
+    r2 = 1.0 - (ss_res / ss_tot if ss_tot > 0 else np.nan)
+    if plot_path is not None:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.figure(figsize=(6, 4))
+        plt.scatter(xs, ys, s=10, alpha=0.7, label="samples")
+        plt.plot(xs, fit, color="#DBA142", label=f"fit (R^2={r2:.3f})")
+        plt.xlabel("LLR" if flip else "Lambda")
+        plt.ylabel("log(f1/f0)" if flip else "log(f0/f1)")
+        plt.title(title)
+        plt.grid(True, ls="-", alpha=0.4)
+        plt.legend()
+        plt.tight_layout()
+        plt.savefig(plot_path, dpi=150)
+        plt.close()
+    return a, float(r2)
+
+
+def _sample_errors_and_syndromes(key, H_bf16, n, error_rate, trials):
+    """iid Bernoulli(error_rate) errors per decoding-graph column and their
+    syndromes (the reference calibrates on this simplified channel,
+    alpha.py:127-128 — NOT the circuit-level channel)."""
+    e = jax.random.uniform(key, (trials, n)) < error_rate
+    syn = (jnp.dot(e.astype(jnp.bfloat16), H_bf16,
+                   preferred_element_type=jnp.float32).astype(jnp.int32) & 1)
+    return e, syn.astype(jnp.int8)
+
+
+def _harvest_buckets(graph, H_bf16, prior, error_rate, trials, key,
+                     alpha_prefix, advance_iters, chunk=512):
+    """Collect unscaled check messages bucketed by the true bit value of the
+    edge's variable, advancing ``advance_iters`` BP iterations first."""
+    n = graph.n
+    maxI = max(advance_iters, 1)
+    seq = np.zeros(maxI, dtype=np.float32)
+    seq[:len(alpha_prefix)] = alpha_prefix[:maxI]
+    seq_j = jnp.asarray(seq)
+    mask = np.asarray(graph.row_mask)
+    cols = np.asarray(graph.row_cols)[mask]          # (nnz,) column per edge
+    out0, out1 = [], []
+    done = 0
+    while done < trials:
+        t = min(chunk, trials - done)
+        kk = jax.random.fold_in(key, done)
+        e, syn = _sample_errors_and_syndromes(kk, H_bf16, n, error_rate, t)
+        R, _ = harvest_messages(graph, syn, prior, seq_j, advance_iters)
+        R = np.asarray(R)                             # (m, dr, t)
+        bits = np.asarray(e).T[cols]                  # (nnz, t) true bits
+        msgs = R[mask]                                # (nnz, t)
+        out0.append(msgs[~bits.astype(bool)].astype(np.float32))
+        out1.append(msgs[bits.astype(bool)].astype(np.float32))
+        done += t
+    return np.concatenate(out0), np.concatenate(out1)
+
+
+def estimate_alpha_alvarado(H, error_rate, trials=5000, bins=50, llrs=None,
+                            key=None, plot_path: Optional[str] = None
+                            ) -> Tuple[float, float]:
+    """Single-alpha Alvarado estimation from one unscaled min-sum pass
+    (reference alpha.py:84-157)."""
+    if not (0 < error_rate < 0.5):
+        raise ValueError("error_rate must be in (0, 0.5)")
+    graph = TannerGraph.from_dense(H)
+    H_bf16 = jnp.asarray((np.asarray(H) != 0).astype(np.float32),
+                         dtype=jnp.bfloat16).T  # (n, m)
+    prior = jnp.asarray(llrs, dtype=jnp.float32)
+    key = key if key is not None else jax.random.key(0)
+    t0, t1 = _harvest_buckets(graph, H_bf16, prior, error_rate, trials, key,
+                              np.zeros(0, np.float32), 0)
+    return _fit_log_ratio(t0, t1, bins, plot_path=plot_path,
+                          title=f"Alvarado alpha fit (p={error_rate:.6g})")
+
+
+def estimate_alpha_alvarado_autoregressive(
+        H, error_rate, maxIter, trials=5000, bins=50, llrs=None, key=None,
+        plot_dir: Optional[str] = None, plot_prefix: Optional[str] = None
+        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-iteration alpha sequence: iteration k's alpha is fit from
+    unscaled messages after advancing k iterations with alpha_0..k-1
+    (reference alpha.py:160-276)."""
+    if not (0 < error_rate < 0.5):
+        raise ValueError("error_rate must be in (0, 0.5)")
+    if maxIter <= 0:
+        raise ValueError("maxIter must be > 0")
+    graph = TannerGraph.from_dense(H)
+    H_bf16 = jnp.asarray((np.asarray(H) != 0).astype(np.float32),
+                         dtype=jnp.bfloat16).T
+    prior = jnp.asarray(llrs, dtype=jnp.float32)
+    key = key if key is not None else jax.random.key(0)
+    alphas, r2s = [], []
+    for k in range(maxIter):
+        plot_path = None
+        if plot_dir is not None:
+            prefix = plot_prefix or f"autoregressive_p{error_rate:.6g}"
+            plot_path = f"{plot_dir}/{prefix}_iter{k + 1}_alpha_fit.png"
+        t0, t1 = _harvest_buckets(
+            graph, H_bf16, prior, error_rate, trials,
+            jax.random.fold_in(key, 7919 * k),
+            np.asarray(alphas, dtype=np.float32), k)
+        a, r2 = _fit_log_ratio(
+            t0, t1, bins, plot_path=plot_path,
+            title=f"Autoregressive alpha fit (p={error_rate:.6g}, iter={k+1})")
+        alphas.append(a)
+        r2s.append(r2)
+    return (np.asarray(alphas, dtype=np.float64),
+            np.asarray(r2s, dtype=np.float64))
+
+
+def estimate_scopt_beta(H, error_rate, trials=10000, bins=50, alpha=1.0,
+                        alpha_mode="dynamical", maxIter=50, llrs=None,
+                        key=None, plot_path: Optional[str] = None,
+                        chunk=512) -> Tuple[float, float]:
+    """SCOPT beta: fit log(f1/f0) = beta * x on FINAL posterior LLRs after a
+    full (early-exiting) min-sum decode (reference scopt.py:8-177)."""
+    if not (0 < error_rate < 0.5):
+        raise ValueError("error_rate must be in (0, 0.5)")
+    graph = TannerGraph.from_dense(H)
+    H_bf16 = jnp.asarray((np.asarray(H) != 0).astype(np.float32),
+                         dtype=jnp.bfloat16).T
+    prior = jnp.asarray(llrs, dtype=jnp.float32)
+    seq = jnp.asarray(alpha_schedule(alpha_mode, maxIter, alpha))
+    key = key if key is not None else jax.random.key(0)
+    f0, f1 = [], []
+    done = 0
+    while done < trials:
+        t = min(chunk, trials - done)
+        e, syn = _sample_errors_and_syndromes(
+            jax.random.fold_in(key, done), H_bf16, graph.n, error_rate, t)
+        dec = decode_batch(graph, syn, prior, seq, maxIter)
+        vals = np.asarray(dec["values"])              # (t, n) frozen at conv
+        bits = np.asarray(e)
+        f0.append(vals[~bits].astype(np.float32))
+        f1.append(vals[bits].astype(np.float32))
+        done += t
+    return _fit_log_ratio(np.concatenate(f0), np.concatenate(f1), bins,
+                          flip=True, plot_path=plot_path,
+                          title=f"SCOPT beta fit (p={error_rate:.6g})")

@@ -1,0 +1,263 @@
+"""Batched ordered-statistics decoding (OSD) with bit-packed GF(2) elimination.
+
+TPU-first design: per-shot reliability-ordered Gauss-Jordan elimination runs
+as one jitted routine over a whole batch of failed-BP shots. Columns are
+sorted by |posterior LLR| per shot, the K least-reliable columns are
+gathered and bit-packed 32-per-uint32 word along the column axis, and a
+fori_loop performs swap-free pivoting with word-wise XOR row elimination —
+every step fully vectorized over (batch, rows, words) on the VPU.
+
+Truncation: the reference eliminates over all n columns
+(reference src/decoding/osd.py:13-17 + kernels.py:48-106); here elimination
+is restricted to the first K = rank + margin columns in reliability order.
+The greedy pivot set (lexicographically-first independent columns) is
+identical whenever those K columns reach full rank — monitored via the
+returned ``rank_deficient`` flag, which is all-False in practice for the BB
+decoding graphs (margin 512 default).
+
+Order-w reprocessing follows reference osd.py:31-77: OSD-0 returns
+immediately when its syndrome matches (physical syndromes are always in the
+column space, so this is the common case); otherwise up to ``order``-sized
+flips of the ``order + 10`` least-reliable non-pivot columns are scored by
+the penalized |LLR| metric (reference kernels.py:195-204) and the first
+minimum wins, reproducing the reference's strict-< update rule.
+"""
+from __future__ import annotations
+
+from functools import partial
+from itertools import combinations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _combo_masks(num_test: int, order: int) -> np.ndarray:
+    """(Ncombo, num_test) 0/1 masks for all flip sets of size 1..order, in
+    the reference's enumeration order (weight-1 combos first)."""
+    rows = []
+    for w in range(1, order + 1):
+        for combo in combinations(range(num_test), w):
+            row = np.zeros(num_test, dtype=np.int32)
+            row[list(combo)] = 1
+            rows.append(row)
+    if not rows:
+        return np.zeros((0, num_test), dtype=np.int32)
+    return np.stack(rows)
+
+
+def _pack_columns(bits: jax.Array) -> jax.Array:
+    """(..., K) 0/1 -> (..., K//32) uint32, bit c of word w = column 32w+c.
+
+    Packs via uint8 byte sums + a 4-byte bitcast so no uint32-per-bit
+    intermediate is ever materialized (that costs 32x the packed size in
+    HBM — enough to OOM a chip at production batch sizes).
+    """
+    K = bits.shape[-1]
+    assert K % 32 == 0
+    b = bits.astype(jnp.uint8).reshape(*bits.shape[:-1], K // 8, 8)
+    byte = jnp.sum(b << jnp.arange(8, dtype=jnp.uint8), axis=-1,
+                   dtype=jnp.uint8)
+    return jax.lax.bitcast_convert_type(
+        byte.reshape(*bits.shape[:-1], K // 32, 4), jnp.uint32)
+
+
+def _gather_pack(H, colsK, Kp: int, chunk: int = 256) -> jax.Array:
+    """Per-shot column gather + bit-pack, chunked over columns so the
+    transient unpacked gather never exceeds (B, m, chunk) bytes."""
+    B, K = colsK.shape
+    m = H.shape[0]
+    Hu8 = H.astype(jnp.uint8)
+    words = []
+    for c0 in range(0, Kp, chunk):
+        c1 = min(c0 + chunk, Kp)
+        if c0 >= K:
+            words.append(jnp.zeros((B, m, (c1 - c0) // 32), jnp.uint32))
+            continue
+        idx = colsK[:, c0:min(c1, K)]
+        Hg = jnp.transpose(jnp.take(Hu8, idx, axis=1), (1, 0, 2))
+        if c1 > K:  # zero-pad the final partial chunk
+            Hg = jnp.pad(Hg, ((0, 0), (0, 0), (0, c1 - K)))
+        words.append(_pack_columns(Hg))
+    return jnp.concatenate(words, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("K", "order", "num_test"))
+def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
+              num_test: int = 0):
+    """Batched OSD post-processing of failed-BP shots.
+
+    Args:
+      H: (m, n) uint8 dense decoding matrix (class-level).
+      HT: (n, m) bf16 transpose of H (for the residual matmul).
+      syndrome: (B, m) int8 target syndromes.
+      llr: (B, n) f32 posterior LLRs from BP.
+      hard: (B, n) int8 BP hard decisions (starting point).
+      K: static column budget for the elimination (multiple of 32).
+      order: OSD reprocessing order (0 = OSD-0 only).
+      num_test: number of least-reliable non-pivot test positions
+        (reference uses order + 10; pass 0 with order=0).
+
+    Returns dict: solution (B, n) int8, valid (B,) bool (syndrome exactly
+    reproduced), rank_deficient (B,) bool (pivot shortfall vs matrix rank —
+    should never fire with a generous K).
+    """
+    B, n = llr.shape
+    m = H.shape[0]
+    assert K <= n
+    Kp = -(-K // 32) * 32  # packed width (zero-padded beyond K)
+
+    # residual syndrome the correction must reproduce (reference osd.py:8-9)
+    hard_syn = (jnp.dot(hard.astype(jnp.bfloat16), HT,
+                        preferred_element_type=jnp.float32)
+                .astype(jnp.int32) & 1)
+    residual = (syndrome.astype(jnp.int32) ^ hard_syn)          # (B, m)
+
+    # reliability ordering; gather + bit-pack the K least-reliable columns
+    order_idx = jnp.argsort(jnp.abs(llr), axis=1)               # (B, n)
+    colsK = order_idx[:, :K]                                     # (B, K)
+    Hp = _gather_pack(H, colsK, Kp)                              # (B, m, Kp/32)
+
+    row_ids = jnp.arange(m, dtype=jnp.int32)[None, :]            # (1, m)
+
+    def elim_step(col, state):
+        Hp, s, used, prow_of_col = state
+        w = col // 32
+        bit = (col % 32).astype(jnp.uint32)
+        word = jax.lax.dynamic_slice_in_dim(Hp, w, 1, axis=2)[:, :, 0]
+        colbits = (word >> bit) & jnp.uint32(1)                  # (B, m)
+        cand = (colbits == 1) & ~used
+        has = jnp.any(cand, axis=1)                              # (B,)
+        piv = jnp.argmax(cand, axis=1).astype(jnp.int32)         # first True
+        prow = jnp.take_along_axis(Hp, piv[:, None, None], axis=1)  # (B,1,W)
+        ps = jnp.take_along_axis(s, piv[:, None], axis=1)        # (B, 1)
+        elim = (colbits == 1) & (row_ids != piv[:, None]) & has[:, None]
+        Hp = jnp.where(elim[:, :, None], Hp ^ prow, Hp)
+        s = jnp.where(elim, s ^ ps, s)
+        used = used | ((row_ids == piv[:, None]) & has[:, None])
+        prow_of_col = jax.lax.dynamic_update_slice_in_dim(
+            prow_of_col, jnp.where(has, piv, -1)[:, None], col, axis=1)
+        return Hp, s, used, prow_of_col
+
+    init = (Hp, residual, jnp.zeros((B, m), bool),
+            jnp.full((B, K), -1, jnp.int32))
+    Hp, s_red, used, prow_of_col = jax.lax.fori_loop(0, K, elim_step, init)
+
+    is_pivot = prow_of_col >= 0                                  # (B, K)
+    prow_clamped = jnp.maximum(prow_of_col, 0)
+    # OSD-0 correction in permuted coords: e[col] = s_red[pivot_row(col)]
+    e0_perm = jnp.where(
+        is_pivot, jnp.take_along_axis(s_red, prow_clamped, axis=1), 0)
+    # validity: un-pivoted rows must carry zero reduced syndrome
+    unsat0 = jnp.sum(jnp.where(~used, s_red, 0), axis=1)         # (B,)
+    valid0 = unsat0 == 0
+    # For physically consistent syndromes (always in the column space of H)
+    # an invalid OSD-0 can only mean the K-column truncation fell short of
+    # the matrix rank for this shot's ordering.
+    rank_deficient = ~valid0
+
+    if order > 0 and num_test > 0:
+        e_perm, valid = _reprocess(
+            Hp, s_red, used, prow_of_col, is_pivot, e0_perm, valid0,
+            llr, hard, colsK, order, num_test, B, K, m)
+    else:
+        e_perm, valid = e0_perm, valid0
+
+    # scatter correction back to original coordinates and apply to hard
+    corr = jnp.zeros((B, n), jnp.int32)
+    corr = corr.at[jnp.arange(B)[:, None], colsK].set(e_perm)
+    solution = (hard.astype(jnp.int32) ^ corr).astype(jnp.int8)
+    return dict(solution=solution, valid=valid, rank_deficient=rank_deficient)
+
+
+def _reprocess(Hp, s_red, used, prow_of_col, is_pivot, e0_perm, valid0,
+               llr, hard, colsK, order, num_test, B, K, m):
+    """Order-w flip search over the least-reliable non-pivot columns.
+
+    Only consulted for shots whose OSD-0 syndrome fails (reference
+    osd.py:28-29 returns OSD-0 immediately otherwise).
+    """
+    # test positions: first num_test non-pivot column slots (ascending |LLR|)
+    nonpiv = ~is_pivot                                           # (B, K)
+    np_rank = jnp.cumsum(nonpiv.astype(jnp.int32), axis=1) - 1   # rank among nonpiv
+    slot_ids = jnp.arange(K, dtype=jnp.int32)[None, :]
+    # slot_of_rank (B, num_test): K-slot index of the t-th non-pivot column
+    # (scatter by non-pivot rank; out-of-range ranks dump into slot num_test)
+    cand_rank = jnp.where(nonpiv & (np_rank < num_test), np_rank, num_test)
+    slot_of_rank = jnp.zeros((B, num_test + 1), jnp.int32).at[
+        jnp.arange(B)[:, None], cand_rank].set(
+        jnp.broadcast_to(slot_ids, (B, K)))[:, :num_test]
+
+    # extract reduced-matrix bit columns at the test slots: (B, m, num_test)
+    w_idx = slot_of_rank // 32                                   # (B, T)
+    b_idx = (slot_of_rank % 32).astype(jnp.uint32)
+    words = jnp.take_along_axis(Hp, w_idx[:, None, :], axis=2)   # (B, m, T)
+    test_cols = ((words >> b_idx[:, None, :]) & jnp.uint32(1)).astype(jnp.int32)
+
+    combos = jnp.asarray(_combo_masks(num_test, order))          # (C, T)
+    C = combos.shape[0]
+    # parity of flipped test columns at every row: (B, m, C) — the only
+    # O(B*m*C) array; all per-column-slot work stays in row space to avoid
+    # O(B*K*C) intermediates (a multi-GB HBM blowup at production batch)
+    par_rows = jnp.einsum("bmt,ct->bmc", test_cols, combos) & 1
+    unsat = jnp.sum(jnp.where(~used[:, :, None],
+                              s_red[:, :, None] ^ par_rows, 0), axis=1)  # (B, C)
+
+    # Penalized |LLR| metric (reference kernels.py:195-204) relative to hard.
+    # The reference's float64 metric 1e10 + unsat*1e8 + sum|llr| orders
+    # candidates lexicographically by (unsat, sum|llr|) since any LLR sum is
+    # << 1e8; compare that way explicitly (f32 cannot hold 1e10 + few-unit
+    # deltas without losing the LLR term entirely).
+    #
+    # Per-combo LLR delta, derived in row space: for pivot slot c with
+    # weight w'_c, its correction bit is base_c XOR par(prow_c, combo), and
+    # base ^ par = base + (1 - 2*base) * par, so
+    #   delta(combo) = sum_c w'_c base_c
+    #                + sum_r [sum_{c: prow_c = r} w'_c (1-2 base_c)] par(r, combo)
+    #                + sum_{t in combo} w'_{test_t}.
+    abs_llr = jnp.abs(llr)
+    base_metric = jnp.sum(abs_llr * hard, axis=1)                # (B,)
+    wperm = jnp.take_along_axis(abs_llr * (1 - 2 * hard), colsK, axis=1)
+    prow_clamped = jnp.maximum(prow_of_col, 0)                   # (B, K)
+    base_piv = jnp.take_along_axis(s_red, prow_clamped, axis=1)  # (B, K)
+    wp = jnp.where(is_pivot, wperm, 0.0)
+    const_piv = jnp.sum(wp * base_piv, axis=1)                   # (B,)
+    wrow = jnp.zeros((B, s_red.shape[1]), jnp.float32).at[
+        jnp.arange(B)[:, None], prow_clamped].add(
+        wp * (1.0 - 2.0 * base_piv))                             # (B, m)
+    delta_piv = jnp.einsum("bmc,bm->bc", par_rows.astype(jnp.float32), wrow)
+    wtest = jnp.take_along_axis(wperm, slot_of_rank, axis=1)     # (B, T)
+    delta_flip = wtest @ combos.T.astype(jnp.float32)            # (B, C)
+    metric_c = base_metric[:, None] + const_piv[:, None] + delta_piv \
+        + delta_flip                                             # (B, C)
+
+    # OSD-0 candidate first (its metric), then combos; first minimum wins
+    e0_delta = jnp.sum(e0_perm.astype(jnp.float32) * wperm, axis=1)
+    unsat0 = jnp.sum(jnp.where(~used, s_red, 0), axis=1)
+    all_llr = jnp.concatenate([(base_metric + e0_delta)[:, None], metric_c], 1)
+    all_unsat = jnp.concatenate([unsat0[:, None], unsat], axis=1)
+    min_unsat = jnp.min(all_unsat, axis=1, keepdims=True)
+    eligible = all_unsat == min_unsat
+    best = jnp.argmin(jnp.where(eligible, all_llr, jnp.inf), axis=1)  # (B,)
+
+    # materialize the correction for the selected combo only
+    pick_combo = jnp.maximum(best - 1, 0)
+    par_best_rows = jnp.take_along_axis(
+        par_rows, pick_combo[:, None, None], axis=2)[:, :, 0]    # (B, m)
+    par_best_piv = jnp.take_along_axis(par_best_rows, prow_clamped, axis=1)
+    e_best = jnp.where(is_pivot, base_piv ^ par_best_piv, 0)     # (B, K)
+    combo_best = jnp.take(combos, pick_combo, axis=0)            # (B, T)
+    e_best = e_best.at[jnp.arange(B)[:, None], slot_of_rank].max(combo_best)
+    e_perm = jnp.where((best == 0)[:, None], e0_perm, e_best)
+    unsat_best = jnp.where(best == 0, unsat0,
+                           jnp.take_along_axis(unsat, pick_combo[:, None],
+                                               axis=1)[:, 0])
+    # reference returns OSD-0 straight away when it is valid
+    e_perm = jnp.where(valid0[:, None], e0_perm, e_perm)
+    valid = jnp.where(valid0, True, unsat_best == 0)
+    return e_perm.astype(jnp.int32), valid
+
+
+def choose_K(m: int, n: int, margin: int = 512) -> int:
+    """Static elimination column budget: rank bound + margin, capped at n."""
+    return min(n, m + margin)

@@ -1,0 +1,346 @@
+"""Monte-Carlo logical-error-rate engine: batched, jitted, mesh-sharded.
+
+API-compatible superset of the reference's orchestrator
+(``run_simulation``, reference src/simulation/engine.py:193-488): same
+signature and result dict, but one decode round = thousands of shots as a
+single jitted SPMD computation (sample -> syndrome matmul -> batched BP ->
+batched OSD for failed shots -> logical comparison) instead of one process
+per trial. Adaptive stopping reproduces the reference's sequential rule
+exactly: per-shot error flags stream back in global shot order and the run
+truncates at the precise trial where the target error count is reached.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.bb import make_code
+from ..models.builder import build_decoding_matrices, channel_llrs
+from ..models.circuit import SyndromeCircuit
+from ..ops import calibrate
+from ..ops.bp import TannerGraph, alpha_schedule, decode_batch
+from ..ops.osd import choose_K, osd_batch
+from ..ops.sampler import (TrialMaps, augmented_bits, fault_bits,
+                           make_trial_maps, sample_gate_randoms)
+from .mesh import shard_rounds, shot_mesh
+
+logger = logging.getLogger(__name__)
+
+_SAMPLER_KEYS = ("z_loc_gate_loc", "z_loc_role", "z_loc_class",
+                 "x_loc_gate_loc", "x_loc_role", "x_loc_class")
+
+
+def ensure_sampler_metadata(matrices: Dict, circ: SyndromeCircuit, Lx, Lz,
+                            error_rate: float) -> Dict:
+    """Reference-format matrix dicts (e.g. loaded from a reference cache)
+    lack the per-location sampler tables; rebuild them and cross-check the
+    decoding matrices agree before merging."""
+    if all(k in matrices for k in _SAMPLER_KEYS):
+        return matrices
+    rebuilt = build_decoding_matrices(circ, Lx, Lz, error_rate)
+    for key in ("HdecZ", "HdecX"):
+        if key in matrices and not np.array_equal(
+                np.asarray(matrices[key]) % 2, rebuilt[key] % 2):
+            raise ValueError(
+                f"precomputed {key} disagrees with this circuit's fault "
+                "enumeration — wrong code/cycles/schedule for these matrices?")
+    merged = dict(rebuilt)
+    merged.update({k: v for k, v in matrices.items() if k not in merged})
+    return merged
+
+
+@dataclasses.dataclass(frozen=True)
+class BasisDecoder:
+    """Static per-basis decode bundle (device arrays)."""
+
+    maps: TrialMaps
+    graph: TannerGraph
+    H: jax.Array          # (m, n) uint8 decoding matrix
+    HT_bf16: jax.Array    # (n, m)
+    H_logical: jax.Array  # (n, k) bf16 — logical action of each fault class
+    prior: jax.Array      # (n,) f32
+    alpha_seq: jax.Array  # (maxIter,) f32
+    K: int
+    num_test: int
+
+
+def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
+                osd_margin: int = 512, osd_order: int = 0) -> BasisDecoder:
+    b = basis.upper()
+    H = (np.asarray(matrices[f"Hdec{b}"]) != 0).astype(np.uint8)
+    probs = matrices[f"channel_probs{b}"]
+    full = np.asarray(matrices[f"H{b}_full"])
+    k = matrices["k"]
+    first = matrices[f"first_logical_row{b}"]
+    H_logical = (full[first:first + k] != 0).astype(np.float32)  # (k, n)
+    return BasisDecoder(
+        maps=make_trial_maps(circ, matrices, b),
+        graph=TannerGraph.from_dense(H),
+        H=jnp.asarray(H),
+        HT_bf16=jnp.asarray(H.T.astype(np.float32), dtype=jnp.bfloat16),
+        H_logical=jnp.asarray(H_logical.T, dtype=jnp.bfloat16),  # (n, k)
+        prior=jnp.asarray(channel_llrs(probs, clip_channel), dtype=jnp.float32),
+        alpha_seq=jnp.asarray(alpha_seq, dtype=jnp.float32),
+        K=choose_K(*H.shape, margin=osd_margin),
+        num_test=(osd_order + 10) if osd_order > 0 else 0,
+    )
+
+
+jax.tree_util.register_pytree_node(
+    BasisDecoder,
+    lambda d: ((d.maps, d.graph, d.H, d.HT_bf16, d.H_logical, d.prior,
+                d.alpha_seq), (d.K, d.num_test)),
+    lambda aux, ch: BasisDecoder(*ch, *aux),
+)
+
+
+def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
+                      osd_order: int, damping: float, clip_llr: float):
+    """BP, OSD fallback for unconverged shots, logical comparison."""
+    bp = decode_batch(dec.graph, syndrome, dec.prior, dec.alpha_seq,
+                      maxIter, damping=damping, clip_llr=clip_llr)
+    # OSD fallback applies only to BP-failed shots (reference engine.py:96-97);
+    # under SPMD it runs on the whole batch and converged shots keep BP output
+    osd = osd_batch(dec.H, dec.HT_bf16, syndrome, bp["values"], bp["hard"],
+                    K=dec.K, order=osd_order, num_test=dec.num_test)
+    solution = jnp.where(bp["converged"][:, None], bp["hard"],
+                         osd["solution"])
+    dec_log = (jnp.dot(solution.astype(jnp.bfloat16), dec.H_logical,
+                       preferred_element_type=jnp.float32)
+               .astype(jnp.int32) & 1)
+    err = jnp.any(dec_log != true_log.astype(jnp.int32), axis=1)
+    return err, bp["converged"]
+
+
+def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
+                  error_rate: float, batch: int, maxIter: int,
+                  osd_order: int, damping: float = 1.0,
+                  clip_llr: float = 20.0):
+    """Build the per-device decode-round function: key -> per-shot flags."""
+
+    def round_fn(key):
+        err, pauli, cat2 = sample_gate_randoms(key, batch, n_locs, error_rate)
+        out = {}
+        for name, dec in (("z", dec_z), ("x", dec_x)):
+            bits = fault_bits(err, pauli, cat2, dec.maps, name.upper())
+            aug = augmented_bits(bits, dec.maps)
+            syndrome = aug[:, :dec.maps.num_syn]
+            true_log = aug[:, dec.maps.num_syn:]
+            e, conv = _decode_one_basis(syndrome, true_log, dec, maxIter,
+                                        osd_order, damping, clip_llr)
+            out[f"{name}_err"] = e
+            out[f"{name}_conv"] = conv
+        out["any_err"] = out["z_err"] | out["x_err"]
+        return out
+
+    return round_fn
+
+
+def run_simulation(
+    Hx, Hz, Lx, Lz, error_rate, num_trials=1000, num_cycles=12,
+    maxIter=50, osd_order=0, use_dynamic_alpha=True,
+    alpha_mode=None, alvarado_alpha=None,
+    alpha_estimation_trials=5000, alpha_estimation_bins=50,
+    precomputed_matrices=None, num_workers=None, base_seed=None,
+    use_jit=True,
+    target_logical_errors=None, max_trials=None, scopt=False,
+    estimation_plot_dir=None,
+    batch_size: Optional[int] = None, mesh=None, damping: float = 1.0,
+    verbose: bool = True,
+    **bb_params,
+) -> Dict[str, Any]:
+    """Reference-compatible Monte-Carlo LER estimation (engine.py:193-203
+    signature; num_workers/use_jit accepted for compatibility and ignored —
+    parallelism is the device mesh, the jitted path is the only path)."""
+    del num_workers, use_jit
+    if base_seed is None:
+        base_seed = int(np.random.randint(0, 2**31))
+
+    code = make_code(Hx, Hz, Lx, Lz, **bb_params)
+    circ = SyndromeCircuit(code, num_cycles=num_cycles)
+    matrices = precomputed_matrices or build_decoding_matrices(
+        circ, code.Lx, code.Lz, error_rate)
+    matrices = ensure_sampler_metadata(matrices, circ, code.Lx, code.Lz,
+                                       error_rate)
+    llrs_z = channel_llrs(matrices["channel_probsZ"])
+    llrs_x = channel_llrs(matrices["channel_probsX"])
+
+    if alpha_mode is None:
+        alpha_mode = "dynamical" if use_dynamic_alpha else "alvarado"
+
+    result_extra: Dict[str, Any] = {}
+    alpha_z = alpha_x = 1.0
+    if alpha_mode == "alvarado":
+        if alvarado_alpha is None:
+            trials_z = _calib_trials(alpha_estimation_trials,
+                                     matrices["HdecZ"].shape[1], error_rate)
+            trials_x = _calib_trials(alpha_estimation_trials,
+                                     matrices["HdecX"].shape[1], error_rate)
+            alpha_z, r2z = calibrate.estimate_alpha_alvarado(
+                matrices["HdecZ"], error_rate, trials=trials_z,
+                bins=alpha_estimation_bins, llrs=llrs_z,
+                key=jax.random.key(base_seed + 1),
+                plot_path=_plot_path(estimation_plot_dir, error_rate,
+                                     "alvarado", "z"))
+            alpha_x, r2x = calibrate.estimate_alpha_alvarado(
+                matrices["HdecX"], error_rate, trials=trials_x,
+                bins=alpha_estimation_bins, llrs=llrs_x,
+                key=jax.random.key(base_seed + 2),
+                plot_path=_plot_path(estimation_plot_dir, error_rate,
+                                     "alvarado", "x"))
+            result_extra.update(alpha_r2_z=r2z, alpha_r2_x=r2x)
+        elif isinstance(alvarado_alpha, (list, tuple, np.ndarray)) and \
+                len(alvarado_alpha) == 2:
+            alpha_z, alpha_x = float(alvarado_alpha[0]), float(alvarado_alpha[1])
+            result_extra.update(alpha_r2_z=None, alpha_r2_x=None)
+        else:
+            alpha_z = alpha_x = float(alvarado_alpha)
+            result_extra.update(alpha_r2_z=None, alpha_r2_x=None)
+        seq_z = alpha_schedule("alvarado", maxIter, alpha_z)
+        seq_x = alpha_schedule("alvarado", maxIter, alpha_x)
+    elif alpha_mode == "alvarado-autoregressive":
+        if alvarado_alpha is not None:
+            raise ValueError(
+                "alvarado_alpha must be None for alvarado-autoregressive")
+        trials_z = _calib_trials(alpha_estimation_trials,
+                                 matrices["HdecZ"].shape[1], error_rate)
+        trials_x = _calib_trials(alpha_estimation_trials,
+                                 matrices["HdecX"].shape[1], error_rate)
+        av_z, r2v_z = calibrate.estimate_alpha_alvarado_autoregressive(
+            matrices["HdecZ"], error_rate, maxIter, trials=trials_z,
+            bins=alpha_estimation_bins, llrs=llrs_z,
+            key=jax.random.key(base_seed + 1),
+            plot_dir=estimation_plot_dir,
+            plot_prefix=f"autoregressive_{_fmt(error_rate)}_z")
+        av_x, r2v_x = calibrate.estimate_alpha_alvarado_autoregressive(
+            matrices["HdecX"], error_rate, maxIter, trials=trials_x,
+            bins=alpha_estimation_bins, llrs=llrs_x,
+            key=jax.random.key(base_seed + 2),
+            plot_dir=estimation_plot_dir,
+            plot_prefix=f"autoregressive_{_fmt(error_rate)}_x")
+        result_extra.update(alpha_values_z=av_z, alpha_values_x=av_x,
+                            alpha_r2_values_z=r2v_z, alpha_r2_values_x=r2v_x)
+        seq_z = alpha_schedule("alvarado-autoregressive", maxIter, av_z)
+        seq_x = alpha_schedule("alvarado-autoregressive", maxIter, av_x)
+    elif alpha_mode == "dynamical":
+        seq_z = seq_x = alpha_schedule("dynamical", maxIter)
+    else:
+        raise ValueError(f"Unsupported alpha_mode: {alpha_mode}")
+
+    if scopt:
+        trials_z = _calib_trials(5000, matrices["HdecZ"].shape[1], error_rate)
+        trials_x = _calib_trials(5000, matrices["HdecX"].shape[1], error_rate)
+        beta_z, br2z = calibrate.estimate_scopt_beta(
+            matrices["HdecZ"], error_rate, trials=trials_z,
+            bins=alpha_estimation_bins,
+            alpha=(result_extra.get("alpha_values_z", alpha_z)
+                   if alpha_mode == "alvarado-autoregressive" else alpha_z),
+            alpha_mode=alpha_mode, maxIter=maxIter, llrs=llrs_z,
+            key=jax.random.key(base_seed + 3),
+            plot_path=_plot_path(estimation_plot_dir, error_rate, "scopt", "z"))
+        beta_x, br2x = calibrate.estimate_scopt_beta(
+            matrices["HdecX"], error_rate, trials=trials_x,
+            bins=alpha_estimation_bins,
+            alpha=(result_extra.get("alpha_values_x", alpha_x)
+                   if alpha_mode == "alvarado-autoregressive" else alpha_x),
+            alpha_mode=alpha_mode, maxIter=maxIter, llrs=llrs_x,
+            key=jax.random.key(base_seed + 4),
+            plot_path=_plot_path(estimation_plot_dir, error_rate, "scopt", "x"))
+        # beta is estimated and reported but (like the reference,
+        # engine.py:389 TODO) not yet consumed by the decoder
+        result_extra.update(beta_z=beta_z, beta_x=beta_x,
+                            beta_r2_z=br2z, beta_r2_x=br2x)
+
+    dec_z = _make_basis(circ, matrices, "Z", seq_z, osd_order=osd_order)
+    dec_x = _make_basis(circ, matrices, "X", seq_x, osd_order=osd_order)
+
+    if max_trials is None:
+        max_trials = num_trials if num_trials is not None else 1_000_000
+    stop_on_errors = (target_logical_errors is not None
+                      and target_logical_errors > 0)
+
+    mesh = mesh if mesh is not None else (
+        shot_mesh() if len(jax.devices()) > 1 else None)
+    n_dev = len(mesh.devices.ravel()) if mesh is not None else 1
+    if batch_size is None:
+        batch_size = min(1024, max(128, -(-max_trials // n_dev)))
+    round_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, error_rate,
+                             batch_size, maxIter, osd_order, damping)
+    sharded = shard_rounds(jax.jit(round_fn), mesh)
+    round_shots = batch_size * n_dev
+
+    key = jax.random.key(base_seed)
+    z_errs = x_errs = tot_errs = trials_run = 0
+    t_start = time.time()
+    round_idx = 0
+    while trials_run < max_trials:
+        flags = jax.device_get(sharded(jax.random.fold_in(key, round_idx)))
+        round_idx += 1
+        take = min(round_shots, max_trials - trials_run)
+        z = np.asarray(flags["z_err"][:take])
+        x = np.asarray(flags["x_err"][:take])
+        a = np.asarray(flags["any_err"][:take])
+        if stop_on_errors:
+            cum = np.cumsum(a)
+            crossing = np.searchsorted(cum, tot_errs_target(
+                target_logical_errors, tot_errs))
+            if cum.size and cum[-1] + tot_errs >= target_logical_errors:
+                take = int(crossing) + 1
+                z, x, a = z[:take], x[:take], a[:take]
+        trials_run += take
+        z_errs += int(z.sum())
+        x_errs += int(x.sum())
+        tot_errs += int(a.sum())
+        if verbose:
+            logger.info("p=%.4g trials=%d errors=%d/%s", error_rate,
+                        trials_run, tot_errs,
+                        target_logical_errors if stop_on_errors else "inf")
+        if stop_on_errors and tot_errs >= target_logical_errors:
+            break
+    elapsed = time.time() - t_start
+
+    result = {
+        "logical_error_rate": tot_errs / max(1, trials_run),
+        "z_logical_error_rate": z_errs / max(1, trials_run),
+        "x_logical_error_rate": x_errs / max(1, trials_run),
+        "num_trials": trials_run,
+        "logical_errors": tot_errs,
+        "shots_per_sec": trials_run / max(elapsed, 1e-9),
+        "elapsed_sec": elapsed,
+        "num_devices": n_dev,
+    }
+    result.update(result_extra)
+    return result
+
+
+def tot_errs_target(target: int, already: int) -> int:
+    """Remaining errors needed within the current round."""
+    return max(0, target - already)
+
+
+def _calib_trials(requested: int, n: int, p: float) -> int:
+    """Reference's dynamic trial-count rule (engine.py:236-244): override
+    the default 5000 with max(500, min(50000, 2000/(n*p)))."""
+    dynamic = max(500, min(50000, int(2000 / (n * p))))
+    return requested if requested != 5000 else dynamic
+
+
+def _fmt(rate: float) -> str:
+    return f"{rate:.6g}".replace(".", "p")
+
+
+def _plot_path(plot_dir: Optional[str], rate: float, kind: str,
+               basis: str) -> Optional[str]:
+    if plot_dir is None:
+        return None
+    os.makedirs(plot_dir, exist_ok=True)
+    return os.path.join(plot_dir, f"{kind}_{_fmt(rate)}_{basis}_fit.png")

@@ -1,0 +1,60 @@
+"""Device-mesh utilities: shot-axis data parallelism for Monte-Carlo decoding.
+
+The reference's parallelism surface is a single-node multiprocessing pool
+fanning out one trial per task (reference src/simulation/engine.py:433-464).
+The TPU-native equivalent is SPMD: a 1-D ``Mesh`` over all devices with the
+Monte-Carlo shot axis sharded across it via ``shard_map``; each device
+samples and decodes its own shard with a decorrelated RNG stream
+(``fold_in`` of the mesh axis index), and per-shot error flags are gathered
+so the host can apply the exact sequential stopping rule. Error-count
+reductions for monitoring ride ``jax.lax.psum`` over ICI.
+
+Scaling to multi-host pods requires no code change: ``jax.devices()``
+spans all hosts under ``jax.distributed``, the same Mesh covers them, and
+the shot axis shards across DCN-connected slices identically.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+SHOT_AXIS = "shots"
+
+
+def shot_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, shot-axis data parallel."""
+    devices = np.array(devices if devices is not None else jax.devices())
+    return Mesh(devices, (SHOT_AXIS,))
+
+
+def shard_rounds(round_fn: Callable, mesh: Optional[Mesh]) -> Callable:
+    """Wrap a per-device decode round into an SPMD round over the mesh.
+
+    ``round_fn(key) -> dict of (B, ...) arrays`` becomes
+    ``sharded(key) -> dict of (D*B, ...) arrays`` with per-device RNG
+    decorrelation. With mesh=None (single device), returns round_fn itself.
+    """
+    if mesh is None or len(mesh.devices.ravel()) == 1:
+        return round_fn
+
+    def per_device(key):
+        dev = jax.lax.axis_index(SHOT_AXIS)
+        return round_fn(jax.random.fold_in(key, dev))
+
+    # check_vma=False: decode loops initialize while_loop carries from
+    # constants, which the varying-manual-axes checker would reject
+    try:
+        sharded = shard_map(per_device, mesh=mesh, in_specs=P(),
+                            out_specs=P(SHOT_AXIS), check_vma=False)
+    except TypeError:  # older JAX: the kwarg was called check_rep
+        sharded = shard_map(per_device, mesh=mesh, in_specs=P(),
+                            out_specs=P(SHOT_AXIS), check_rep=False)
+    return jax.jit(sharded)

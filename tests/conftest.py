@@ -5,9 +5,32 @@ host-platform device virtualization instead (SURVEY.md §4 test strategy).
 Must be set before jax is imported anywhere.
 """
 import os
+import sys
 
-# force CPU even when the environment pre-sets a TPU platform (e.g. axon)
+# A TPU sitecustomize plugin (axon) may register JAX backends at interpreter
+# start, locking the device configuration before conftest can set it. Re-exec
+# pytest once with a clean environment: plugin disabled, CPU platform, 8
+# virtual devices for the simulated mesh.
+if os.environ.get("PALLAS_AXON_POOL_IPS") and \
+        os.environ.get("QLDPC_TEST_REEXEC") != "1":
+    env = dict(os.environ)
+    env.update(
+        QLDPC_TEST_REEXEC="1",
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=(env.get("XLA_FLAGS", "")
+                   + " --xla_force_host_platform_device_count=8").strip(),
+    )
+    import subprocess
+    sys.stdout.flush()
+    sys.stderr.flush()
+    ret = subprocess.call([sys.executable, "-m", "pytest"] + sys.argv[1:],
+                          env=env)
+    os._exit(ret)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

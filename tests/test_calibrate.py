@@ -1,0 +1,63 @@
+"""Calibration: alpha/beta estimation sanity and statistical behavior."""
+import numpy as np
+import pytest
+
+from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, channel_llrs, get_code
+from qldpc_tpu.ops import calibrate
+
+
+@pytest.fixture(scope="module")
+def setup72():
+    code = get_code("[[72, 12, 6]]")
+    circ = SyndromeCircuit(code, num_cycles=3)
+    M = build_decoding_matrices(circ, code.Lx, code.Lz, 0.01)
+    H = M["HdecZ"]
+    llrs = channel_llrs(M["channel_probsZ"])
+    return H, llrs
+
+
+def test_alvarado_alpha_in_physical_range(setup72):
+    H, llrs = setup72
+    alpha, r2 = calibrate.estimate_alpha_alvarado(H, 0.01, trials=400,
+                                                  llrs=llrs)
+    # normalized min-sum alphas are attenuation factors; the fit should land
+    # in (0, 1.5) with a meaningful linear quality
+    assert 0.05 < alpha < 1.5
+    assert r2 > 0.5
+
+
+def test_autoregressive_sequence(setup72):
+    H, llrs = setup72
+    seq, r2s = calibrate.estimate_alpha_alvarado_autoregressive(
+        H, 0.01, maxIter=3, trials=200, llrs=llrs)
+    assert seq.shape == (3,) and r2s.shape == (3,)
+    assert np.all(seq > 0) and np.all(seq < 2.0)
+
+
+def test_scopt_beta_negative(setup72):
+    """Posterior LLRs are large-positive for non-errors and negative for
+    errors, so log(f1/f0) decreases in x: beta < 0 as in the reference's
+    convention (scopt.py:148-155 fits log(f1/f0) = beta * x)."""
+    H, llrs = setup72
+    beta, r2 = calibrate.estimate_scopt_beta(H, 0.01, trials=300,
+                                             maxIter=8, llrs=llrs)
+    assert beta < 0
+    assert np.isfinite(r2)
+
+
+def test_invalid_error_rate(setup72):
+    H, llrs = setup72
+    with pytest.raises(ValueError):
+        calibrate.estimate_alpha_alvarado(H, 0.7, llrs=llrs)
+    with pytest.raises(ValueError):
+        calibrate.estimate_alpha_alvarado_autoregressive(H, 0.01, maxIter=0,
+                                                         llrs=llrs)
+
+
+def test_plot_output(tmp_path, setup72):
+    H, llrs = setup72
+    path = str(tmp_path / "fit.png")
+    calibrate.estimate_alpha_alvarado(H, 0.01, trials=200, llrs=llrs,
+                                      plot_path=path)
+    import os
+    assert os.path.exists(path) and os.path.getsize(path) > 0

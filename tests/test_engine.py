@@ -1,0 +1,85 @@
+"""End-to-end engine: LER statistical goldens + sharding + stopping rule."""
+import numpy as np
+import pytest
+
+import jax
+
+from qldpc_tpu import get_code
+from qldpc_tpu.parallel.engine import run_simulation
+
+
+@pytest.fixture(scope="module")
+def code72():
+    return get_code("[[72, 12, 6]]")
+
+
+def bb_kwargs(code):
+    """Polynomial metadata kwargs, as the reference driver passes them
+    (main.py:67: **bb_params) — without them the circuit builder falls back
+    to raw-row neighbor derivation with a different CNOT schedule."""
+    return dict(ell=code.ell, m=code.m, a_x_powers=code.a_x_powers,
+                a_y_powers=code.a_y_powers, b_y_powers=code.b_y_powers,
+                b_x_powers=code.b_x_powers)
+
+
+def test_ler_matches_reference_high_p(code72):
+    """[[72,12,6]] at p=0.006: reference archives LER 0.51-0.57
+    (BASELINE.md rows 1 and 9). With ~100 errors the binomial error bar is
+    ~+-0.1; assert the estimate lands in a generous window."""
+    c = code72
+    res = run_simulation(c.Hx, c.Hz, c.Lx, c.Lz, 0.006, num_cycles=6,
+                         maxIter=20, osd_order=2, alpha_mode="dynamical",
+                         target_logical_errors=100, max_trials=400,
+                         base_seed=7, batch_size=64, verbose=False, **bb_kwargs(c))
+    assert res["num_trials"] >= 100
+    assert 0.35 <= res["logical_error_rate"] <= 0.75, res
+    # multi-device CPU mesh engaged (conftest forces 8 virtual devices)
+    assert res["num_devices"] == 8
+
+
+def test_sequential_stopping_rule(code72):
+    """Stopping truncates at the exact trial where the target is reached."""
+    c = code72
+    res = run_simulation(c.Hx, c.Hz, c.Lx, c.Lz, 0.006, num_cycles=6,
+                         maxIter=10, osd_order=0, alpha_mode="dynamical",
+                         target_logical_errors=5, max_trials=2000,
+                         base_seed=3, batch_size=32, verbose=False, **bb_kwargs(c))
+    assert res["logical_errors"] == 5
+    # the last counted trial must be the crossing error itself
+    assert res["num_trials"] <= 2000
+
+
+def test_reproducible_given_seed(code72):
+    c = code72
+    kw = dict(num_cycles=6, maxIter=10, osd_order=0, alpha_mode="dynamical",
+              max_trials=64, base_seed=11, batch_size=8, verbose=False)
+    r1 = run_simulation(c.Hx, c.Hz, c.Lx, c.Lz, 0.006, **kw)
+    r2 = run_simulation(c.Hx, c.Hz, c.Lx, c.Lz, 0.006, **kw)
+    assert r1["logical_errors"] == r2["logical_errors"]
+    assert r1["num_trials"] == r2["num_trials"]
+
+
+def test_reference_format_precomputed_matrices(code72):
+    """A reference-style matrix dict (no sampler metadata) is accepted and
+    back-filled; a mismatched one is rejected."""
+    from qldpc_tpu import SyndromeCircuit, build_decoding_matrices
+    c = code72
+    circ = SyndromeCircuit(c, num_cycles=3)
+    M = build_decoding_matrices(circ, c.Lx, c.Lz, 0.008)
+    ref_style = {k: M[k] for k in
+                 ["HdecZ", "HdecX", "channel_probsZ", "channel_probsX",
+                  "HZ_full", "HX_full", "first_logical_rowZ",
+                  "first_logical_rowX", "num_cycles", "k"]}
+    res = run_simulation(c.Hx, c.Hz, c.Lx, c.Lz, 0.008, num_cycles=3,
+                         maxIter=8, osd_order=0, alpha_mode="dynamical",
+                         precomputed_matrices=ref_style, max_trials=16,
+                         base_seed=0, batch_size=2, verbose=False,
+                         **bb_kwargs(c))
+    assert res["num_trials"] == 16
+
+    bad = dict(ref_style)
+    bad["HdecZ"] = np.zeros_like(np.asarray(M["HdecZ"]))
+    with pytest.raises(ValueError, match="disagrees"):
+        run_simulation(c.Hx, c.Hz, c.Lx, c.Lz, 0.008, num_cycles=3,
+                       maxIter=8, precomputed_matrices=bad, max_trials=8,
+                       batch_size=2, verbose=False, **bb_kwargs(c))
