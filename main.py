@@ -17,6 +17,9 @@ import json
 import logging
 import os
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 from qldpc_tpu import CODE_REGISTRY, get_code

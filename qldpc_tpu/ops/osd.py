@@ -82,9 +82,9 @@ def _gather_pack(H, colsK, Kp: int, chunk: int = 256) -> jax.Array:
     return jnp.concatenate(words, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("K", "order", "num_test"))
+@partial(jax.jit, static_argnames=("K", "order", "num_test", "use_pallas"))
 def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
-              num_test: int = 0):
+              num_test: int = 0, use_pallas: bool = False):
     """Batched OSD post-processing of failed-BP shots.
 
     Args:
@@ -118,30 +118,24 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     colsK = order_idx[:, :K]                                     # (B, K)
     Hp = _gather_pack(H, colsK, Kp)                              # (B, m, Kp/32)
 
-    row_ids = jnp.arange(m, dtype=jnp.int32)[None, :]            # (1, m)
-
-    def elim_step(col, state):
-        Hp, s, used, prow_of_col = state
-        w = col // 32
-        bit = (col % 32).astype(jnp.uint32)
-        word = jax.lax.dynamic_slice_in_dim(Hp, w, 1, axis=2)[:, :, 0]
-        colbits = (word >> bit) & jnp.uint32(1)                  # (B, m)
-        cand = (colbits == 1) & ~used
-        has = jnp.any(cand, axis=1)                              # (B,)
-        piv = jnp.argmax(cand, axis=1).astype(jnp.int32)         # first True
-        prow = jnp.take_along_axis(Hp, piv[:, None, None], axis=1)  # (B,1,W)
-        ps = jnp.take_along_axis(s, piv[:, None], axis=1)        # (B, 1)
-        elim = (colbits == 1) & (row_ids != piv[:, None]) & has[:, None]
-        Hp = jnp.where(elim[:, :, None], Hp ^ prow, Hp)
-        s = jnp.where(elim, s ^ ps, s)
-        used = used | ((row_ids == piv[:, None]) & has[:, None])
-        prow_of_col = jax.lax.dynamic_update_slice_in_dim(
-            prow_of_col, jnp.where(has, piv, -1)[:, None], col, axis=1)
-        return Hp, s, used, prow_of_col
-
-    init = (Hp, residual, jnp.zeros((B, m), bool),
-            jnp.full((B, K), -1, jnp.int32))
-    Hp, s_red, used, prow_of_col = jax.lax.fori_loop(0, K, elim_step, init)
+    if use_pallas:
+        # VMEM-resident elimination kernel (osd_pallas.py): checks-on-lanes
+        # layout in, converted back to the (B, m, W) convention after
+        from .osd_pallas import eliminate_blocks, pick_block_shots
+        M_pad = -(-m // 128) * 128
+        HpT = jnp.pad(jnp.transpose(Hp, (0, 2, 1)),
+                      ((0, 0), (0, 0), (0, M_pad - m)))
+        s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
+        S = pick_block_shots(M_pad, HpT.shape[1])
+        while B % S:
+            S //= 2
+        hp_out, s_out, prow_of_col, used_p = eliminate_blocks(
+            HpT, s_pad, K, m, block_shots=S)
+        Hp = jnp.transpose(hp_out, (0, 2, 1))[:, :m, :]
+        s_red = s_out[:, :m]
+        used = used_p[:, :m]
+    else:
+        Hp, s_red, used, prow_of_col = _eliminate_xla(Hp, residual, K, m, B)
 
     is_pivot = prow_of_col >= 0                                  # (B, K)
     prow_clamped = jnp.maximum(prow_of_col, 0)
@@ -168,6 +162,36 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     corr = corr.at[jnp.arange(B)[:, None], colsK].set(e_perm)
     solution = (hard.astype(jnp.int32) ^ corr).astype(jnp.int8)
     return dict(solution=solution, valid=valid, rank_deficient=rank_deficient)
+
+
+def _eliminate_xla(Hp, residual, K: int, m: int, B: int):
+    """XLA fori_loop swap-free Gauss-Jordan (CPU / fallback path). Touches
+    the full (B, m, W) matrix in HBM every step — use the Pallas kernel on
+    TPU for the VMEM-resident version."""
+    row_ids = jnp.arange(m, dtype=jnp.int32)[None, :]            # (1, m)
+
+    def elim_step(col, state):
+        Hp, s, used, prow_of_col = state
+        w = col // 32
+        bit = (col % 32).astype(jnp.uint32)
+        word = jax.lax.dynamic_slice_in_dim(Hp, w, 1, axis=2)[:, :, 0]
+        colbits = (word >> bit) & jnp.uint32(1)                  # (B, m)
+        cand = (colbits == 1) & ~used
+        has = jnp.any(cand, axis=1)                              # (B,)
+        piv = jnp.argmax(cand, axis=1).astype(jnp.int32)         # first True
+        prow = jnp.take_along_axis(Hp, piv[:, None, None], axis=1)  # (B,1,W)
+        ps = jnp.take_along_axis(s, piv[:, None], axis=1)        # (B, 1)
+        elim = (colbits == 1) & (row_ids != piv[:, None]) & has[:, None]
+        Hp = jnp.where(elim[:, :, None], Hp ^ prow, Hp)
+        s = jnp.where(elim, s ^ ps, s)
+        used = used | ((row_ids == piv[:, None]) & has[:, None])
+        prow_of_col = jax.lax.dynamic_update_slice_in_dim(
+            prow_of_col, jnp.where(has, piv, -1)[:, None], col, axis=1)
+        return Hp, s, used, prow_of_col
+
+    init = (Hp, residual, jnp.zeros((B, m), bool),
+            jnp.full((B, K), -1, jnp.int32))
+    return jax.lax.fori_loop(0, K, elim_step, init)
 
 
 def _reprocess(Hp, s_red, used, prow_of_col, is_pivot, e0_perm, valid0,

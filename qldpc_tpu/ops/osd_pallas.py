@@ -1,0 +1,128 @@
+"""Pallas TPU kernel: batched bit-packed GF(2) Gauss-Jordan elimination.
+
+The XLA elimination loop in osd.py re-reads the whole (B, m, W) packed
+matrix from HBM on every one of the K column steps (~hundreds of GB of
+traffic per batch). This kernel instead grids over shot blocks and keeps
+each block's matrices resident in VMEM for the entire elimination — HBM is
+touched once on the way in and once on the way out, and the K-step loop
+runs at VPU speed.
+
+Layout: checks on the lane axis (m padded to 128), packed words on the
+sublane axis, shots as the leading block dim — so the hot update
+``Hp ^= elim_mask * pivot_row`` is a fully lane-parallel (S, W, M) op, and
+per-shot pivot selection / pivot-row extraction are lane reductions
+(first-set-index via masked min of an iota; row extraction via masked sum —
+per-lane dynamic gathers do not exist on the VPU).
+
+Semantics identical to osd.py's elimination fori_loop (same swap-free
+greedy pivoting); cross-checked by tests/test_osd_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
+                 *, K: int, m: int):
+    """One shot-block: eliminate K columns fully in VMEM.
+
+    hp_ref/out_hp_ref: (S, W, M) int32 word bit-patterns (Mosaic has no
+    unsigned reductions, so packed words travel as int32; ``(w >> b) & 1``
+    is sign-fill-safe and XOR is bitwise either way).
+    s_ref/out_s_ref:   (S, M) int32 residual syndrome (lane-padded).
+    colofrow_ref:      (S, M) int32 — pivot column of each row (-1 = row
+        unused). Recorded as a lane-masked full-row write because dynamic
+        minor-dimension stores (prow_of_col[col] = piv) are not 128-aligned;
+        the caller inverts the mapping to prow_of_col.
+    """
+    S, W, M = hp_ref.shape
+    out_hp_ref[:] = hp_ref[:]
+    out_s_ref[:] = s_ref[:]
+    colofrow_ref[:] = jnp.full((S, M), -1, jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
+    valid_lane = lane < m
+
+    def step(col, _):
+        w = col // 32
+        bit = col % 32
+        word = out_hp_ref[:, pl.ds(w, 1), :][:, 0, :]            # (S, M)
+        colbits = (word >> bit) & jnp.int32(1)
+        cand = (colbits == 1) & (colofrow_ref[:] < 0) & valid_lane
+        piv = jnp.min(jnp.where(cand, lane, M), axis=1,
+                      keepdims=True)                             # (S, 1)
+        has = piv < M
+        pivmask = (lane == piv) & has                            # (S, M)
+        # pivot row extraction: masked lane reduction (no per-lane gather)
+        prow = jnp.sum(jnp.where(pivmask[:, None, :], out_hp_ref[:], 0),
+                       axis=2, keepdims=True)                    # (S, W, 1)
+        ps = jnp.sum(jnp.where(pivmask, out_s_ref[:], 0), axis=1,
+                     keepdims=True)                              # (S, 1)
+        elim = (colbits == 1) & ~pivmask & has                   # (S, M)
+        out_hp_ref[:] = jnp.where(elim[:, None, :],
+                                  out_hp_ref[:] ^ prow, out_hp_ref[:])
+        out_s_ref[:] = jnp.where(elim, out_s_ref[:] ^ ps, out_s_ref[:])
+        colofrow_ref[:] = jnp.where(pivmask, col, colofrow_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, K, step, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "m", "block_shots",
+                                             "interpret"))
+def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
+                     interpret: bool = False):
+    """Batched elimination. Hp (B, W, M) uint32 (M = lane-padded checks),
+    s (B, M) int32. Returns (Hp_reduced, s_reduced, prow_of_col (B, K),
+    used (B, M))."""
+    B, W, M = Hp.shape
+    Hp = jax.lax.bitcast_convert_type(Hp, jnp.int32)
+    S = min(block_shots, B)
+    assert B % S == 0, (B, S)
+    grid = (B // S,)
+    kernel = functools.partial(_elim_kernel, K=K, m=m)
+    out_hp, out_s, colofrow = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, W, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, W, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, W, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, M), jnp.int32),
+        ],
+        interpret=interpret,
+    )(Hp, s)
+    out_hp = jax.lax.bitcast_convert_type(out_hp, jnp.uint32)
+    # invert row->column into prow_of_col (cheap XLA scatter)
+    used = colofrow >= 0                                         # (B, M)
+    lane = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    target = jnp.where(used, colofrow, K)                        # dump slot K
+    prow_of_col = jnp.full((B, K + 1), -1, jnp.int32).at[
+        jnp.arange(B)[:, None], target].set(lane)[:, :K]
+    return out_hp, out_s, prow_of_col, used
+
+
+def pick_block_shots(m_pad: int, W: int, vmem_budget: int = 9 << 20) -> int:
+    """Largest power-of-two shot block whose matrices fit the VMEM budget."""
+    per_shot = m_pad * W * 4 * 2 + m_pad * 4 * 3  # in+out Hp, s/s_out/used
+    s = max(1, vmem_budget // max(per_shot, 1))
+    return 1 << min(6, max(0, int(np.log2(s))))

@@ -100,12 +100,20 @@ def sample_gate_randoms(key: jax.Array, batch: int, n_locs: int,
     Returns (err, pauli, cat2): err (B, n_locs) bool — an error occurred;
     pauli (B, n_locs) int32 in [0,3) — X/Y/Z choice for IDLE locations;
     cat2 (B, n_locs) int32 in [0,15) — two-qubit Pauli category for CNOTs.
+
+    Draws two raw 32-bit words per location: one 32-bit uniform for the
+    error indicator, one split 16/16 for the two categoricals via modular
+    reduction (bias <= 3/2^16 relative — orders of magnitude below any
+    Monte-Carlo error bar; exact rejection sampling is not worth the extra
+    device passes).
     """
-    ku, kp, kt = jax.random.split(key, 3)
-    u = jax.random.uniform(ku, (batch, n_locs), dtype=jnp.float32)
-    err = u < error_rate
-    pauli = jax.random.randint(kp, (batch, n_locs), 0, 3, dtype=jnp.int32)
-    cat2 = jax.random.randint(kt, (batch, n_locs), 0, 15, dtype=jnp.int32)
+    ke, kc = jax.random.split(key, 2)
+    w = jax.random.bits(ke, (batch, n_locs), dtype=jnp.uint32)
+    thresh = jnp.uint32(jnp.clip(error_rate * 4294967296.0, 0, 4294967295.0))
+    err = w < thresh
+    c = jax.random.bits(kc, (batch, n_locs), dtype=jnp.uint32)
+    pauli = ((c & jnp.uint32(0xFFFF)) % 3).astype(jnp.int32)
+    cat2 = ((c >> 16) % 15).astype(jnp.int32)
     return err, pauli, cat2
 
 

@@ -1,0 +1,75 @@
+"""Per-stage timing of the decode round on real hardware.
+
+Usage: python scripts/profile_round.py [code] [p] [batch]
+Times sampling+syndrome, BP alone, and the full round (BP + chunked OSD +
+logical readout) separately to show where a round's time goes.
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, get_code
+from qldpc_tpu.ops import sampler
+from qldpc_tpu.ops.bp import alpha_schedule, decode_batch
+from qldpc_tpu.parallel.engine import _make_basis, make_round_fn
+from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
+                                     save_matrices)
+
+
+def timed(name, fn, *args, reps=5):
+    out = jax.block_until_ready(fn(*args))  # compile
+    t0 = time.time()
+    for _ in range(reps):
+        out = jax.block_until_ready(fn(*args))
+    dt = (time.time() - t0) / reps
+    print(f"{name:34s} {dt * 1e3:9.2f} ms")
+    return out, dt
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "[[144, 12, 12]]"
+    p = float(sys.argv[2]) if len(sys.argv) > 2 else 0.004
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    maxIter, osd_order = 20, 2
+    code = get_code(name)
+    cycles = code.distance
+    circ = SyndromeCircuit(code, num_cycles=cycles)
+    key_c = compute_cache_key(code.Hx, code.Hz, code.Lx, code.Lz, cycles, p)
+    M = load_matrices("matrix_cache", key_c)
+    if M is None:
+        M = build_decoding_matrices(circ, code.Lx, code.Lz, p)
+        save_matrices("matrix_cache", key_c, M)
+    seq = alpha_schedule("dynamical", maxIter)
+    dz = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
+    dx = _make_basis(circ, M, "X", seq, osd_order=osd_order)
+    print(f"{name} p={p} B={B} n={dz.graph.n} m={dz.graph.m} "
+          f"dr={dz.graph.dr} K={dz.K}")
+    key = jax.random.key(0)
+
+    samp = jax.jit(lambda k: sampler.trial_batch(
+        k, p, dz.maps, dx.maps, circ.num_error_locs, batch=B))
+    out, _ = timed("sample + syndrome (both bases)", samp, key)
+
+    bp = jax.jit(lambda s: decode_batch(dz.graph, s, dz.prior, dz.alpha_seq,
+                                        maxIter))
+    bp_out, _ = timed("BP Z-basis", bp, out["syndrome_z"])
+    conv = np.asarray(bp_out["converged"]).mean()
+    print(f"{'':34s} (BP Z convergence {conv:.2%})")
+
+    full = jax.jit(make_round_fn(dz, dx, circ.num_error_locs, p, B,
+                                 maxIter, osd_order))
+    _, dt = timed("FULL round (both bases + OSD)", full, key)
+    print(f"round throughput: {B / dt:,.0f} shots/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Pallas elimination kernel vs the XLA fori_loop path (interpret mode)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qldpc_tpu.ops.osd import _eliminate_xla, _gather_pack
+from qldpc_tpu.ops.osd_pallas import eliminate_blocks
+
+
+def test_eliminate_blocks_matches_xla():
+    rng = np.random.default_rng(4)
+    m, n, K, B = 24, 60, 60, 8
+    H = np.zeros((m, n), np.uint8)
+    for j in range(n):
+        H[rng.choice(m, 3, replace=False), j] = 1
+    errors = (rng.random((B, n)) < 0.15).astype(np.int8)
+    residual = jnp.asarray((errors @ H.T) % 2).astype(jnp.int32)
+    cols = jnp.asarray(np.stack([rng.permutation(n)[:K] for _ in range(B)]))
+    Kp = -(-K // 32) * 32
+    Hp = _gather_pack(jnp.asarray(H), cols, Kp)          # (B, m, W)
+
+    xHp, xs, xused, xprow = _eliminate_xla(Hp, residual, K, m, B)
+
+    M_pad = 128
+    HpT = jnp.pad(jnp.transpose(Hp, (0, 2, 1)),
+                  ((0, 0), (0, 0), (0, M_pad - m)))
+    s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
+    pHp, ps, pprow, pused = eliminate_blocks(HpT, s_pad, K, m,
+                                             block_shots=4, interpret=True)
+    assert np.array_equal(np.asarray(pprow), np.asarray(xprow))
+    assert np.array_equal(np.asarray(ps)[:, :m], np.asarray(xs))
+    assert np.array_equal(
+        np.asarray(jnp.transpose(pHp, (0, 2, 1))[:, :m, :]), np.asarray(xHp))
+    assert np.array_equal(np.asarray(pused)[:, :m], np.asarray(xused))
+
+
+def test_osd_batch_pallas_end_to_end():
+    from qldpc_tpu.ops.osd import osd_batch
+    rng = np.random.default_rng(11)
+    m, n = 24, 60
+    H = np.zeros((m, n), np.uint8)
+    for j in range(n):
+        H[rng.choice(m, 3, replace=False), j] = 1
+    B = 4
+    errors = (rng.random((B, n)) < 0.12).astype(np.int8)
+    syn = (errors @ H.T) % 2
+    llr = rng.normal(2.0, 1.0, (B, n)).astype(np.float32)
+    hard = np.zeros((B, n), np.int8)
+    import qldpc_tpu.ops.osd_pallas as op
+
+    orig = op.eliminate_blocks
+    # run the pallas path in interpreter mode on CPU
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    op.eliminate_blocks = interp
+    try:
+        r_pallas = osd_batch(jnp.asarray(H),
+                             jnp.asarray(H.T, dtype=jnp.bfloat16),
+                             jnp.asarray(syn), jnp.asarray(llr),
+                             jnp.asarray(hard), K=n, order=2, num_test=12,
+                             use_pallas=True)
+    finally:
+        op.eliminate_blocks = orig
+    r_xla = osd_batch(jnp.asarray(H), jnp.asarray(H.T, dtype=jnp.bfloat16),
+                      jnp.asarray(syn), jnp.asarray(llr), jnp.asarray(hard),
+                      K=n, order=2, num_test=12, use_pallas=False)
+    assert np.array_equal(np.asarray(r_pallas["solution"]),
+                          np.asarray(r_xla["solution"]))
+    assert np.array_equal(np.asarray(r_pallas["valid"]),
+                          np.asarray(r_xla["valid"]))
