@@ -91,7 +91,8 @@ def main():
     dec_x = _make_basis(circ, M, "X", seq, osd_order=osd_order)
     fn = jax.jit(make_round_fn(dec_z, dec_x, circ.num_error_locs, p, batch,
                                maxIter, osd_order))
-    key = jax.random.key(0)
+    from qldpc_tpu.parallel.engine import make_key
+    key = make_key(0)
     jax.block_until_ready(fn(key))  # compile + warm
     t0 = time.time()
     rounds = 0

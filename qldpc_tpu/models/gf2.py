@@ -52,6 +52,27 @@ def rank(A) -> int:
     return len(piv)
 
 
+def rank_fast(A) -> int:
+    """GF(2) rank via the native bit-packed eliminator when available
+    (large decoding matrices take minutes in the pure-python path)."""
+    A = _as_bits(A)
+    try:
+        from ..native.build import gf2_eliminate_native
+        m, n = A.shape
+        packed = np.packbits(A, axis=1, bitorder="little")
+        pad = (-packed.shape[1]) % 8
+        if pad:
+            packed = np.pad(packed, ((0, 0), (0, pad)))
+        words = np.ascontiguousarray(packed).view(np.uint64)
+        s = np.zeros(m, dtype=np.uint8)
+        prow = gf2_eliminate_native(words, s, n)
+        if prow is not None:
+            return int((prow >= 0).sum())
+    except Exception:
+        pass
+    return rank(A)
+
+
 def nullspace(A) -> np.ndarray:
     """Basis (rows) of {x : A x = 0 over GF(2)}. Shape (n - rank, n)."""
     A = _as_bits(A)

@@ -168,11 +168,8 @@ def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
                           (graph.m, graph.dr, B))
     Q0 = jnp.where(mask3, Q0, _BIG)
 
-    def freeze(done, old, new):
-        return jnp.where(done, old, new)
-
     def body(state):
-        it, Q, Qold, done, cand, vals, iters = state
+        it, Q, Qold, done, vals, iters = state
         alpha = alpha_seq[it]
         R = _check_update(Q, sgn_syn, alpha)
         values, Q_new = _variable_update(R, prior, graph, mask3)
@@ -183,33 +180,29 @@ def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
         Q_new = jnp.where(mask3, Q_new, _BIG)
         hard = (values < 0.0).astype(jnp.int32)              # (n, B)
         ok = jnp.all(_syndrome_of(hard, graph) == syn, axis=0)  # (B,)
-        # update candidates for every not-yet-converged shot (so shots that
-        # never converge report their final-iteration state, reference
-        # dense.py:73), then freeze shots from their first convergence on
-        cand = freeze(done[None, :], cand, hard)
-        vals = freeze(done[None, :], vals, values)
+        # Freeze posteriors at each shot's first convergence; unconverged
+        # shots keep updating so they report final-iteration state
+        # (reference dense.py:71-73). Q itself is NOT frozen — once a shot
+        # is done its messages no longer influence any output, and skipping
+        # the freeze saves a full (m, dr, B) pass per iteration.
+        vals = jnp.where(done[None, :], vals, values)
         iters = jnp.where(ok & ~done, it, iters)
         done = done | ok
-        Q = freeze(done[None, None, :], Q, Q_new)
-        Qold = freeze(done[None, None, :], Qold, Q_new) if damping != 1.0 else Qold
-        return it + 1, Q, Qold, done, cand, vals, iters
+        Qold_new = Q_new if damping != 1.0 else Qold
+        return it + 1, Q_new, Qold_new, done, vals, iters
 
     def cond(state):
         it, _, _, done, *_ = state
         return (it < maxIter) & ~jnp.all(done)
 
-    init = (jnp.int32(0), Q0, Q0,
-            jnp.zeros(B, bool), jnp.zeros((graph.n, B), jnp.int32),
+    init = (jnp.int32(0), Q0, Q0, jnp.zeros(B, bool),
             jnp.zeros((graph.n, B), jnp.float32),
             jnp.full(B, maxIter - 1, jnp.int32))
-    it, Q, Qold, done, cand, vals, iters = jax.lax.while_loop(cond, body, init)
+    it, Q, Qold, done, vals, iters = jax.lax.while_loop(cond, body, init)
 
-    # Unconverged shots report their final-iteration state (reference
-    # dense.py:73 returns last candidate/values). The loop freezes converged
-    # shots, so for unconverged ones cand/vals hold the last update only if
-    # the loop ran to maxIter — which it did unless all shots converged.
-    return dict(hard=cand.T.astype(jnp.int8), converged=done,
-                values=vals.T, iterations=iters)
+    # the hard decision is a pure function of the frozen posteriors
+    cand = (vals < 0.0).astype(jnp.int8)
+    return dict(hard=cand.T, converged=done, values=vals.T, iterations=iters)
 
 
 @partial(jax.jit, static_argnames=("advance_iters", "damping"))

@@ -82,9 +82,10 @@ def _gather_pack(H, colsK, Kp: int, chunk: int = 256) -> jax.Array:
     return jnp.concatenate(words, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("K", "order", "num_test", "use_pallas"))
+@partial(jax.jit, static_argnames=("K", "order", "num_test", "use_pallas",
+                                   "rank"))
 def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
-              num_test: int = 0, use_pallas: bool = False):
+              num_test: int = 0, use_pallas: bool = False, rank: int = None):
     """Batched OSD post-processing of failed-BP shots.
 
     Args:
@@ -130,7 +131,7 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
         while B % S:
             S //= 2
         hp_out, s_out, prow_of_col, used_p = eliminate_blocks(
-            HpT, s_pad, K, m, block_shots=S)
+            HpT, s_pad, K, m, block_shots=S, rank=rank)
         Hp = jnp.transpose(hp_out, (0, 2, 1))[:, :m, :]
         s_red = s_out[:, :m]
         used = used_p[:, :m]

@@ -33,7 +33,7 @@ def _round_up(x: int, mult: int) -> int:
 
 
 def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
-                 *, K: int, m: int):
+                 *, K: int, m: int, rank: int):
     """One shot-block: eliminate K columns fully in VMEM.
 
     hp_ref/out_hp_ref: (S, W, M) int32 word bit-patterns (Mosaic has no
@@ -52,7 +52,8 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
     valid_lane = lane < m
 
-    def step(col, _):
+    def step(carry):
+        col, _ = carry
         w = col // 32
         bit = col % 32
         word = out_hp_ref[:, pl.ds(w, 1), :][:, 0, :]            # (S, M)
@@ -72,15 +73,20 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
                                   out_hp_ref[:] ^ prow, out_hp_ref[:])
         out_s_ref[:] = jnp.where(elim, out_s_ref[:] ^ ps, out_s_ref[:])
         colofrow_ref[:] = jnp.where(pivmask, col, colofrow_ref[:])
-        return 0
+        # early exit: once every shot in the block has `rank` pivots, no
+        # remaining column can pivot (it lies in the pivot span after full
+        # Jordan) or trigger row ops — identical results, fewer steps
+        npiv = jnp.sum((colofrow_ref[:] >= 0).astype(jnp.int32), axis=1)
+        return col + 1, jnp.all(npiv >= rank)
 
-    jax.lax.fori_loop(0, K, step, 0, unroll=False)
+    jax.lax.while_loop(lambda c: (c[0] < K) & ~c[1], step,
+                       (jnp.int32(0), jnp.bool_(False)))
 
 
 @functools.partial(jax.jit, static_argnames=("K", "m", "block_shots",
-                                             "interpret"))
+                                             "interpret", "rank"))
 def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
-                     interpret: bool = False):
+                     interpret: bool = False, rank: int = None):
     """Batched elimination. Hp (B, W, M) uint32 (M = lane-padded checks),
     s (B, M) int32. Returns (Hp_reduced, s_reduced, prow_of_col (B, K),
     used (B, M))."""
@@ -89,7 +95,8 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
     S = min(block_shots, B)
     assert B % S == 0, (B, S)
     grid = (B // S,)
-    kernel = functools.partial(_elim_kernel, K=K, m=m)
+    kernel = functools.partial(_elim_kernel, K=K, m=m,
+                               rank=m if rank is None else rank)
     out_hp, out_s, colofrow = pl.pallas_call(
         kernel,
         grid=grid,

@@ -118,11 +118,16 @@ def sample_gate_randoms(key: jax.Array, batch: int, n_locs: int,
 
 
 def fault_bits(err, pauli, cat2, maps: TrialMaps, basis: str) -> jax.Array:
-    """(B, L) bool fault-bit vector for one frame basis."""
+    """(L, B) bool fault-bit matrix for one frame basis.
+
+    Location-major layout: the per-location expansion gathers along the
+    major axis of the transposed random draws (minor-axis gathers are slow
+    lane shuffles on TPU), and the signature matmul consumes (L, B)
+    directly."""
     gl = maps.gate_loc
-    e = err[:, gl]
-    p = pauli[:, gl]
-    t = cat2[:, gl]
+    e = err.T[gl]                   # (L, B)
+    p = pauli.T[gl]
+    t = cat2.T[gl]
     if basis.upper() == "Z":
         idle_hit = p != 0           # Y or Z has a Z component
         ctrl_lut, tgt_lut = Z_CTRL_LUT, Z_TGT_LUT
@@ -131,18 +136,18 @@ def fault_bits(err, pauli, cat2, maps: TrialMaps, basis: str) -> jax.Array:
         ctrl_lut, tgt_lut = X_CTRL_LUT, X_TGT_LUT
     ctrl_hit = jnp.asarray(ctrl_lut)[t]
     tgt_hit = jnp.asarray(tgt_lut)[t]
-    sel = maps.sel[None, :]
+    sel = maps.sel[:, None]
     hit = jnp.where(sel == SEL_CONST, True,
                     jnp.where(sel == SEL_IDLE, idle_hit,
                               jnp.where(sel == SEL_CTRL, ctrl_hit, tgt_hit)))
     return e & hit
 
 
-def augmented_bits(bits: jax.Array, maps: TrialMaps) -> jax.Array:
-    """(B, R) int8 augmented signature = bits @ A_loc mod 2 (MXU matmul)."""
-    counts = jnp.dot(bits.astype(jnp.bfloat16), maps.A_loc,
-                     preferred_element_type=jnp.float32)
-    return (counts.astype(jnp.int32) & 1).astype(jnp.int8)
+def augmented_bits(bits_T: jax.Array, maps: TrialMaps) -> jax.Array:
+    """(B, R) int8 augmented signature = (A_loc^T @ bits) mod 2 (MXU)."""
+    counts = jnp.dot(maps.A_loc.T, bits_T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)      # (R, B)
+    return (counts.astype(jnp.int32) & 1).astype(jnp.int8).T
 
 
 @partial(jax.jit, static_argnames=("batch", "n_locs"))

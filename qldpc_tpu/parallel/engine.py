@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.bb import make_code
+from ..models import gf2
 from ..models.builder import build_decoding_matrices, channel_llrs
 from ..models.circuit import SyndromeCircuit
 from ..ops import calibrate
@@ -83,6 +84,7 @@ class BasisDecoder:
     alpha_seq: jax.Array  # (maxIter,) f32
     K: int
     num_test: int
+    rank: int             # GF(2) rank of H (OSD early-exit target)
 
 
 def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
@@ -104,13 +106,14 @@ def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
         alpha_seq=jnp.asarray(alpha_seq, dtype=jnp.float32),
         K=choose_K(*H.shape, margin=osd_margin),
         num_test=(osd_order + 10) if osd_order > 0 else 0,
+        rank=gf2.rank_fast(H),
     )
 
 
 jax.tree_util.register_pytree_node(
     BasisDecoder,
     lambda d: ((d.maps, d.graph, d.H, d.HT_bf16, d.H_logical, d.prior,
-                d.alpha_seq), (d.K, d.num_test)),
+                d.alpha_seq), (d.K, d.num_test, d.rank)),
     lambda aux, ch: BasisDecoder(*ch, *aux),
 )
 
@@ -144,7 +147,8 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
             s, v, h = a
             return osd_batch(dec.H, dec.HT_bf16, s, v, h, K=dec.K,
                              order=osd_order, num_test=dec.num_test,
-                             use_pallas=use_pallas)["solution"]
+                             use_pallas=use_pallas,
+                             rank=dec.rank)["solution"]
 
         sols.append(jax.lax.cond(jnp.any(~conv_s[c0:c1]), run_osd,
                                  lambda a: a[2], args))

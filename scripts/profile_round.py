@@ -53,7 +53,8 @@ def main():
     dx = _make_basis(circ, M, "X", seq, osd_order=osd_order)
     print(f"{name} p={p} B={B} n={dz.graph.n} m={dz.graph.m} "
           f"dr={dz.graph.dr} K={dz.K}")
-    key = jax.random.key(0)
+    from qldpc_tpu.parallel.engine import make_key
+    key = make_key(0)
 
     samp = jax.jit(lambda k: sampler.trial_batch(
         k, p, dz.maps, dx.maps, circ.num_error_locs, batch=B))

@@ -74,7 +74,7 @@ def test_error_rate_marginals(setup72):
     err, pauli, cat2 = sampler.sample_gate_randoms(
         jax.random.key(7), B, circ.num_error_locs, p)
     bits = jax.device_get(sampler.fault_bits(err, pauli, cat2, maps_z, "Z"))
-    rates = bits.mean(axis=0)
+    rates = bits.mean(axis=1)  # bits are (L, B) location-major
     sel = jax.device_get(maps_z.sel)
     for sel_code, expect in ((sampler.SEL_CONST, p),
                              (sampler.SEL_IDLE, 2 * p / 3),
