@@ -120,7 +120,13 @@ def _check_update(Q_rows, sgn_syn, alpha):
 
 
 def _variable_update(R_rows, prior, graph: TannerGraph, mask3):
-    """Posterior + extrinsic Q from R. Returns (values (n, B), Q_rows)."""
+    """Posterior + extrinsic Q from R.
+
+    Returns (values (n, B), Q_rows, vals_rows): vals_rows is the row-layout
+    gather of the posteriors, exposed so the caller's syndrome check can
+    reuse it (hard_rows = vals_rows < 0) instead of issuing a second gather
+    with the same indices — gathers dominate the iteration cost on TPU.
+    """
     B = R_rows.shape[-1]
     R_flat = jnp.where(mask3, R_rows, 0.0).reshape(graph.m * graph.dr, B)
     R_flat = jnp.concatenate([R_flat, jnp.zeros((1, B), R_flat.dtype)], 0)
@@ -130,7 +136,7 @@ def _variable_update(R_rows, prior, graph: TannerGraph, mask3):
     vals_pad = jnp.concatenate([values, jnp.zeros((1, B), values.dtype)], 0)
     vals_rows = jnp.take(vals_pad, graph.row_cols.reshape(-1), axis=0)
     vals_rows = vals_rows.reshape(graph.m, graph.dr, B)
-    return values, vals_rows - R_rows
+    return values, vals_rows - R_rows, vals_rows
 
 
 def _syndrome_of(hard, graph: TannerGraph):
@@ -172,14 +178,17 @@ def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
         it, Q, Qold, done, vals, iters = state
         alpha = alpha_seq[it]
         R = _check_update(Q, sgn_syn, alpha)
-        values, Q_new = _variable_update(R, prior, graph, mask3)
+        values, Q_new, vals_rows = _variable_update(R, prior, graph, mask3)
         Q_new = jnp.clip(Q_new, -clip_llr, clip_llr)
         if damping != 1.0:
             Q_new = damping * Q_new + (1.0 - damping) * Qold
             Q_new = jnp.clip(Q_new, -clip_llr, clip_llr)
         Q_new = jnp.where(mask3, Q_new, _BIG)
-        hard = (values < 0.0).astype(jnp.int32)              # (n, B)
-        ok = jnp.all(_syndrome_of(hard, graph) == syn, axis=0)  # (B,)
+        # syndrome check reuses the row-layout posterior gather: the hard
+        # decision of edge (i, d) is vals_rows < 0 (padding gathers a 0)
+        hard_rows = ((vals_rows < 0.0) & graph.row_mask[:, :, None])
+        parity = jnp.sum(hard_rows.astype(jnp.int32), axis=1) & 1  # (m, B)
+        ok = jnp.all(parity == syn, axis=0)                  # (B,)
         # Freeze posteriors at each shot's first convergence; unconverged
         # shots keep updating so they report final-iteration state
         # (reference dense.py:71-73). Q itself is NOT frozen — once a shot
@@ -231,7 +240,7 @@ def harvest_messages(graph: TannerGraph, syndrome, prior, alpha_seq,
     def body(it, carry):
         Q, Qold = carry
         R = _check_update(Q, sgn_syn, alpha_seq[it])
-        _, Q_new = _variable_update(R, prior, graph, mask3)
+        _, Q_new, _ = _variable_update(R, prior, graph, mask3)
         Q_new = jnp.clip(Q_new, -clip_llr, clip_llr)
         if damping != 1.0:
             Q_new = jnp.clip(damping * Q_new + (1.0 - damping) * Qold,

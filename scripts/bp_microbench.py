@@ -64,7 +64,7 @@ def main():
 
             def body(it, Q):
                 R = _check_update(Q, sgn, seq[it])
-                values, Qn = _variable_update(R, prior, graph, mask3)
+                values, Qn, _ = _variable_update(R, prior, graph, mask3)
                 Qn = jnp.clip(Qn, -20.0, 20.0)
                 Qn = jnp.where(mask3, Qn, _BIG)
                 if check_syndrome:
@@ -153,5 +153,53 @@ def gather_only():
           jax.jit(lambda q: _check_update(q, sgn, jnp.float32(0.8))), Q)
 
 
+
+
+
+def isolate_parts():
+    name, p, B, maxIter = "[[144, 12, 12]]", 0.004, 512, 20
+    code = get_code(name)
+    circ = SyndromeCircuit(code, num_cycles=code.distance)
+    M = load_matrices("matrix_cache", compute_cache_key(
+        code.Hx, code.Hz, code.Lx, code.Lz, code.distance, p))
+    H = (M["HdecZ"] != 0).astype(np.uint8)
+    graph = TannerGraph.from_dense(H)
+    prior = jnp.asarray(channel_llrs(M["channel_probsZ"]), jnp.float32)
+    seq = jnp.asarray(alpha_schedule("dynamical", maxIter))
+    rng = np.random.default_rng(0)
+    errors = (rng.random((B, H.shape[1])) < M["channel_probsZ"]).astype(np.int8)
+    syn = jnp.asarray((errors @ H.T) % 2).astype(jnp.int8)
+
+    def make(loop_kind):
+        def run(syndrome):
+            Bl = syndrome.shape[0]
+            syn_t = syndrome.T.astype(jnp.int32)
+            sgn = (1.0 - 2.0 * syn_t).astype(jnp.float32)
+            mask3 = graph.row_mask[:, :, None]
+            pp = jnp.concatenate([prior, jnp.zeros((1,), jnp.float32)])
+            Q0 = jnp.take(pp, graph.row_cols.reshape(-1), axis=0)
+            Q0 = jnp.broadcast_to(Q0.reshape(graph.m, graph.dr, 1),
+                                  (graph.m, graph.dr, Bl))
+            Q0 = jnp.where(mask3, Q0, _BIG)
+
+            def body(it, Q):
+                if loop_kind == "full":
+                    R = _check_update(Q, sgn, seq[it])
+                else:
+                    R = Q * seq[it]          # trivial stand-in, same shapes
+                if loop_kind == "check_only":
+                    return jnp.where(mask3, R, _BIG)
+                values, Qn, _ = _variable_update(R, prior, graph, mask3)
+                Qn = jnp.clip(Qn, -20.0, 20.0)
+                return jnp.where(mask3, Qn, _BIG)
+
+            return jax.lax.fori_loop(0, maxIter, body, Q0)
+        return run
+
+    timed("loop: full (check + var updates)", jax.jit(make("full")), syn)
+    timed("loop: trivial R + var update    ", jax.jit(make("gather")), syn)
+    timed("loop: check update only         ", jax.jit(make("check_only")), syn)
+
+
 if __name__ == "__main__":
-    gather_only()
+    isolate_parts()

@@ -22,20 +22,31 @@ from qldpc_tpu.parallel.engine import run_simulation
 from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
                                      save_matrices)
 
-# (code, p, reference LER, reference errors/trials) — BASELINE.md rows from
-# the 200-error archive run_20260123_141207 (tightest error bars)
-BASELINE_POINTS = [
-    ("[[72, 12, 6]]", 0.006, 5.68e-1, (200, 352)),
-    ("[[72, 12, 6]]", 0.004, 1.70e-1, (200, 1174)),
-    ("[[90, 8, 10]]", 0.006, 7.43e-1, (200, 269)),
-    ("[[90, 8, 10]]", 0.004, 1.66e-1, (200, 1205)),
-    ("[[108, 8, 10]]", 0.006, 7.19e-1, (200, 278)),
-    ("[[108, 8, 10]]", 0.004, 1.52e-1, (200, 1320)),
-    ("[[144, 12, 12]]", 0.006, 8.77e-1, (200, 228)),
-    ("[[144, 12, 12]]", 0.005, 5.92e-1, (200, 338)),
-    ("[[144, 12, 12]]", 0.004, 1.76e-1, (200, 1135)),
-    ("[[288, 12, 18]]", 0.005, 8.13e-1, (200, 246)),
-]
+# (code, p, reference LER, reference errors/trials) — BASELINE.md rows.
+# The 200-error archive run_20260123_141207 was produced with the
+# reference driver's committed default alpha_mode="alvarado-autoregressive"
+# (reference main.py:48); the 30-error run_20260121_122432 rows for [[72]]
+# are the comparison set for dynamical alpha.
+BASELINE_POINTS = {
+    "alvarado-autoregressive": [
+        ("[[72, 12, 6]]", 0.006, 5.68e-1, (200, 352)),
+        ("[[72, 12, 6]]", 0.004, 1.70e-1, (200, 1174)),
+        ("[[90, 8, 10]]", 0.006, 7.43e-1, (200, 269)),
+        ("[[90, 8, 10]]", 0.004, 1.66e-1, (200, 1205)),
+        ("[[108, 8, 10]]", 0.006, 7.19e-1, (200, 278)),
+        ("[[108, 8, 10]]", 0.004, 1.52e-1, (200, 1320)),
+        ("[[144, 12, 12]]", 0.006, 8.77e-1, (200, 228)),
+        ("[[144, 12, 12]]", 0.005, 5.92e-1, (200, 338)),
+        ("[[144, 12, 12]]", 0.004, 1.76e-1, (200, 1135)),
+        ("[[288, 12, 18]]", 0.005, 8.13e-1, (200, 246)),
+    ],
+    "dynamical": [
+        ("[[72, 12, 6]]", 0.006, 5.08e-1, (30, 59)),
+        ("[[72, 12, 6]]", 0.005, 3.33e-1, (30, 90)),
+        ("[[72, 12, 6]]", 0.004, 2.14e-1, (30, 140)),
+        ("[[72, 12, 6]]", 0.003, 6.22e-2, (30, 482)),
+    ],
+}
 
 
 def main():
@@ -44,11 +55,13 @@ def main():
     ap.add_argument("--max-trials", type=int, default=20000)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--codes", nargs="*", default=None)
+    ap.add_argument("--alpha-mode", default="dynamical",
+                    choices=list(BASELINE_POINTS))
     ap.add_argument("--out", default="validation_results.json")
     args = ap.parse_args()
 
     rows = []
-    for name, p, ref_ler, (ref_err, ref_tr) in BASELINE_POINTS:
+    for name, p, ref_ler, (ref_err, ref_tr) in BASELINE_POINTS[args.alpha_mode]:
         if args.codes and name not in args.codes:
             continue
         code = get_code(name)
@@ -63,7 +76,7 @@ def main():
         t0 = time.time()
         res = run_simulation(
             code.Hx, code.Hz, code.Lx, code.Lz, p, num_cycles=cycles,
-            maxIter=20, osd_order=2, alpha_mode="dynamical",
+            maxIter=20, osd_order=2, alpha_mode=args.alpha_mode,
             precomputed_matrices=M,
             target_logical_errors=args.target_errors,
             max_trials=args.max_trials, batch_size=args.batch_size,
@@ -76,7 +89,8 @@ def main():
         sig = np.sqrt(max(ler * (1 - ler) / max(nt, 1), 1e-12))
         ref_sig = np.sqrt(ref_ler * (1 - ref_ler) / ref_tr)
         z = (ler - ref_ler) / np.sqrt(sig**2 + ref_sig**2)
-        row = dict(code=name, p=p, ler=ler, errors=ne, trials=nt,
+        row = dict(code=name, p=p, alpha_mode=args.alpha_mode, ler=ler,
+                   errors=ne, trials=nt,
                    ref_ler=ref_ler, z_score=round(float(z), 2),
                    shots_per_sec=round(res["shots_per_sec"], 1),
                    wall_sec=round(time.time() - t0, 1))
