@@ -93,11 +93,12 @@ def main():
                                maxIter, osd_order))
     from qldpc_tpu.parallel.engine import make_key
     key = make_key(0)
-    jax.block_until_ready(fn(key))  # compile + warm
+    jax.block_until_ready(fn(key, dec_z, dec_x))  # compile + warm
     t0 = time.time()
     rounds = 0
     while time.time() - t0 < 10.0 or rounds < 3:
-        jax.block_until_ready(fn(jax.random.fold_in(key, rounds)))
+        jax.block_until_ready(fn(jax.random.fold_in(key, rounds),
+                                 dec_z, dec_x))
         rounds += 1
     dt = time.time() - t0
     shots_per_sec = rounds * batch / dt

@@ -39,8 +39,10 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
     hp_ref/out_hp_ref: (S, W, M) int32 word bit-patterns (Mosaic has no
     unsigned reductions, so packed words travel as int32; ``(w >> b) & 1``
     is sign-fill-safe and XOR is bitwise either way).
-    s_ref/out_s_ref:   (S, M) int32 residual syndrome (lane-padded).
-    colofrow_ref:      (S, M) int32 — pivot column of each row (-1 = row
+    s_ref/out_s_ref:   (S, 1, M) int32 residual syndrome (lane-padded; the
+        singleton middle dim satisfies Mosaic's block-tiling rule for
+        arbitrary S).
+    colofrow_ref:      (S, 1, M) int32 — pivot column of each row (-1 = row
         unused). Recorded as a lane-masked full-row write because dynamic
         minor-dimension stores (prow_of_col[col] = piv) are not 128-aligned;
         the caller inverts the mapping to prow_of_col.
@@ -48,7 +50,7 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
     S, W, M = hp_ref.shape
     out_hp_ref[:] = hp_ref[:]
     out_s_ref[:] = s_ref[:]
-    colofrow_ref[:] = jnp.full((S, M), -1, jnp.int32)
+    colofrow_ref[:] = jnp.full((S, 1, M), -1, jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
     valid_lane = lane < m
 
@@ -58,7 +60,7 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
         bit = col % 32
         word = out_hp_ref[:, pl.ds(w, 1), :][:, 0, :]            # (S, M)
         colbits = (word >> bit) & jnp.int32(1)
-        cand = (colbits == 1) & (colofrow_ref[:] < 0) & valid_lane
+        cand = (colbits == 1) & (colofrow_ref[:, 0, :] < 0) & valid_lane
         piv = jnp.min(jnp.where(cand, lane, M), axis=1,
                       keepdims=True)                             # (S, 1)
         has = piv < M
@@ -66,17 +68,20 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
         # pivot row extraction: masked lane reduction (no per-lane gather)
         prow = jnp.sum(jnp.where(pivmask[:, None, :], out_hp_ref[:], 0),
                        axis=2, keepdims=True)                    # (S, W, 1)
-        ps = jnp.sum(jnp.where(pivmask, out_s_ref[:], 0), axis=1,
+        ps = jnp.sum(jnp.where(pivmask, out_s_ref[:, 0, :], 0), axis=1,
                      keepdims=True)                              # (S, 1)
         elim = (colbits == 1) & ~pivmask & has                   # (S, M)
         out_hp_ref[:] = jnp.where(elim[:, None, :],
                                   out_hp_ref[:] ^ prow, out_hp_ref[:])
-        out_s_ref[:] = jnp.where(elim, out_s_ref[:] ^ ps, out_s_ref[:])
-        colofrow_ref[:] = jnp.where(pivmask, col, colofrow_ref[:])
+        out_s_ref[:, 0, :] = jnp.where(elim, out_s_ref[:, 0, :] ^ ps,
+                                       out_s_ref[:, 0, :])
+        colofrow_ref[:, 0, :] = jnp.where(pivmask, col,
+                                          colofrow_ref[:, 0, :])
         # early exit: once every shot in the block has `rank` pivots, no
         # remaining column can pivot (it lies in the pivot span after full
         # Jordan) or trigger row ops — identical results, fewer steps
-        npiv = jnp.sum((colofrow_ref[:] >= 0).astype(jnp.int32), axis=1)
+        npiv = jnp.sum((colofrow_ref[:, 0, :] >= 0).astype(jnp.int32),
+                       axis=1)
         return col + 1, jnp.all(npiv >= rank)
 
     jax.lax.while_loop(lambda c: (c[0] < K) & ~c[1], step,
@@ -87,11 +92,15 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
                                              "interpret", "rank"))
 def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
                      interpret: bool = False, rank: int = None):
-    """Batched elimination. Hp (B, W, M) uint32 (M = lane-padded checks),
-    s (B, M) int32. Returns (Hp_reduced, s_reduced, prow_of_col (B, K),
-    used (B, M))."""
+    """Batched elimination. Hp (B, W, M) uint32 (M = lane-padded checks;
+    W padded to a multiple of 8 internally), s (B, M) int32. Returns
+    (Hp_reduced (B, W, M), s_reduced, prow_of_col (B, K), used (B, M))."""
     B, W, M = Hp.shape
+    W8 = _round_up(max(W, 8), 8)  # Mosaic: second-minor block dim % 8 == 0
+    if W8 != W:
+        Hp = jnp.pad(Hp, ((0, 0), (0, W8 - W), (0, 0)))
     Hp = jax.lax.bitcast_convert_type(Hp, jnp.int32)
+    s = s[:, None, :]
     S = min(block_shots, B)
     assert B % S == 0, (B, S)
     grid = (B // S,)
@@ -101,24 +110,29 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((S, W, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((S, W8, M), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((S, W, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((S, W8, M), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, W, M), jnp.int32),
-            jax.ShapeDtypeStruct((B, M), jnp.int32),
-            jax.ShapeDtypeStruct((B, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, W8, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
         ],
         interpret=interpret,
     )(Hp, s)
-    out_hp = jax.lax.bitcast_convert_type(out_hp, jnp.uint32)
+    out_hp = jax.lax.bitcast_convert_type(out_hp[:, :W, :], jnp.uint32)
+    out_s = out_s[:, 0, :]
+    colofrow = colofrow[:, 0, :]
     # invert row->column into prow_of_col (cheap XLA scatter)
     used = colofrow >= 0                                         # (B, M)
     lane = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))

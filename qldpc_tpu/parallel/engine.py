@@ -167,12 +167,19 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
                   error_rate: float, batch: int, maxIter: int,
                   osd_order: int, damping: float = 1.0,
                   clip_llr: float = 20.0, use_pallas: bool = None):
-    """Build the per-device decode-round function: key -> per-shot flags."""
+    """Build the per-device decode-round function:
+    (key, dec_z, dec_x) -> per-shot flags.
+
+    The decoder bundles are call-boundary ARGUMENTS, not closure captures —
+    closure arrays get baked into the HLO as constants, which bloats the
+    program by hundreds of MB for the large codes (the [[288]] signature
+    matrix alone is ~450MB) and can exceed compile-service request limits.
+    """
     if use_pallas is None:  # VMEM elimination kernel on real TPU only
         # (the TPU platform may be named 'tpu' or a plugin name like 'axon')
         use_pallas = jax.default_backend() != "cpu"
 
-    def round_fn(key):
+    def round_fn(key, dec_z=dec_z, dec_x=dec_x):
         err, pauli, cat2 = sample_gate_randoms(key, batch, n_locs, error_rate)
         out = {}
         for name, dec in (("z", dec_z), ("x", dec_x)):
@@ -331,7 +338,8 @@ def run_simulation(
     steady_trials = 0
     round_idx = 0
     while trials_run < max_trials:
-        flags = jax.device_get(sharded(jax.random.fold_in(key, round_idx)))
+        flags = jax.device_get(sharded(jax.random.fold_in(key, round_idx),
+                                       dec_z, dec_x))
         round_idx += 1
         take = min(round_shots, max_trials - trials_run)
         z = np.asarray(flags["z_err"][:take])

@@ -38,16 +38,18 @@ def shot_mesh(devices=None) -> Mesh:
 def shard_rounds(round_fn: Callable, mesh: Optional[Mesh]) -> Callable:
     """Wrap a per-device decode round into an SPMD round over the mesh.
 
-    ``round_fn(key) -> dict of (B, ...) arrays`` becomes
-    ``sharded(key) -> dict of (D*B, ...) arrays`` with per-device RNG
-    decorrelation. With mesh=None (single device), returns round_fn itself.
+    ``round_fn(key, *replicated_args) -> dict of (B, ...) arrays`` becomes
+    ``sharded(key, *replicated_args) -> dict of (D*B, ...) arrays`` with
+    per-device RNG decorrelation; extra args (e.g. decoder bundles) are
+    replicated across the mesh. With mesh=None (single device), returns
+    round_fn itself.
     """
     if mesh is None or len(mesh.devices.ravel()) == 1:
         return round_fn
 
-    def per_device(key):
+    def per_device(key, *rest):
         dev = jax.lax.axis_index(SHOT_AXIS)
-        return round_fn(jax.random.fold_in(key, dev))
+        return round_fn(jax.random.fold_in(key, dev), *rest)
 
     # check_vma=False: decode loops initialize while_loop carries from
     # constants, which the varying-manual-axes checker would reject

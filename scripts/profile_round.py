@@ -68,7 +68,7 @@ def main():
 
     full = jax.jit(make_round_fn(dz, dx, circ.num_error_locs, p, B,
                                  maxIter, osd_order))
-    _, dt = timed("FULL round (both bases + OSD)", full, key)
+    _, dt = timed("FULL round (both bases + OSD)", full, key, dz, dx)
     print(f"round throughput: {B / dt:,.0f} shots/s")
 
 
