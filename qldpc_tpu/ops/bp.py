@@ -214,13 +214,17 @@ def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
     return dict(hard=cand.T, converged=done, values=vals.T, iterations=iters)
 
 
-@partial(jax.jit, static_argnames=("advance_iters", "damping"))
+@partial(jax.jit, static_argnames=("damping",))
 def harvest_messages(graph: TannerGraph, syndrome, prior, alpha_seq,
-                     advance_iters: int, damping: float = 1.0,
+                     advance_iters, damping: float = 1.0,
                      clip_llr: float = 20.0):
     """Advance BP ``advance_iters`` iterations (NO convergence exit —
     calibration advances state unconditionally, reference alpha.py:219-244),
     then run one unscaled (alpha=1) check pass and return its messages.
+
+    ``advance_iters`` is a TRACED value (dynamic fori bound), so the
+    autoregressive estimator's k = 0..maxIter-1 sweep reuses one compiled
+    program instead of recompiling per iteration count.
 
     Returns (R_rows (m, dr, B) unscaled messages, edge column ids (m, dr)).
     Used by Alvarado / autoregressive-Alvarado alpha estimation, which
@@ -248,7 +252,6 @@ def harvest_messages(graph: TannerGraph, syndrome, prior, alpha_seq,
         Q_new = jnp.where(mask3, Q_new, _BIG)
         return Q_new, Q_new
 
-    if advance_iters > 0:
-        Q, _ = jax.lax.fori_loop(0, advance_iters, body, (Q, Q))
+    Q, _ = jax.lax.fori_loop(0, advance_iters, body, (Q, Q))
     R = _check_update(Q, sgn_syn, jnp.float32(1.0))
     return R, graph.row_cols

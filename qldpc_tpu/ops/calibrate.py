@@ -28,8 +28,13 @@ def _fit_log_ratio(x0, x1, bins: int, flip: bool = False,
 
     x0 = np.asarray(x0, dtype=np.float64)
     x1 = np.asarray(x1, dtype=np.float64)
-    x0 = x0[np.isfinite(x0)]
-    x1 = x1[np.isfinite(x1)]
+    # Degree-1 check rows emit messages of magnitude _BIG (the decoder's
+    # finite stand-in for the reference's +-inf, see ops/bp.py); the
+    # reference drops infinite samples before fitting (alpha.py:23-24), so
+    # drop their finite analogue the same way — without this the histogram
+    # range explodes and every fit collapses to alpha = 0.
+    x0 = x0[np.isfinite(x0) & (np.abs(x0) < 1e29)]
+    x1 = x1[np.isfinite(x1) & (np.abs(x1) < 1e29)]
     if x0.size == 0 or x1.size == 0:
         raise ValueError("No finite samples for calibration fit")
     rng = (min(x0.min(), x1.min()), max(x0.max(), x1.max()))
@@ -77,11 +82,16 @@ def _sample_errors_and_syndromes(key, H_bf16, n, error_rate, trials):
 
 
 def _harvest_buckets(graph, H_bf16, prior, error_rate, trials, key,
-                     alpha_prefix, advance_iters, chunk=512):
+                     alpha_prefix, advance_iters, chunk=512,
+                     seq_len=None):
     """Collect unscaled check messages bucketed by the true bit value of the
-    edge's variable, advancing ``advance_iters`` BP iterations first."""
+    edge's variable, advancing ``advance_iters`` BP iterations first.
+
+    ``seq_len`` fixes the alpha-sequence array length so the autoregressive
+    sweep (k = 0..maxIter-1) reuses ONE compiled harvest program — the
+    advance count itself is a dynamic loop bound."""
     n = graph.n
-    maxI = max(advance_iters, 1)
+    maxI = seq_len if seq_len is not None else max(advance_iters, 1)
     seq = np.zeros(maxI, dtype=np.float32)
     seq[:len(alpha_prefix)] = alpha_prefix[:maxI]
     seq_j = jnp.asarray(seq)
@@ -146,7 +156,7 @@ def estimate_alpha_alvarado_autoregressive(
         t0, t1 = _harvest_buckets(
             graph, H_bf16, prior, error_rate, trials,
             jax.random.fold_in(key, 7919 * k),
-            np.asarray(alphas, dtype=np.float32), k)
+            np.asarray(alphas, dtype=np.float32), k, seq_len=maxIter)
         a, r2 = _fit_log_ratio(
             t0, t1, bins, plot_path=plot_path,
             title=f"Autoregressive alpha fit (p={error_rate:.6g}, iter={k+1})")

@@ -198,6 +198,26 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
     return round_fn
 
 
+def make_multi_code_round_fn(specs):
+    """One jitted launch decoding several codes' batches back to back
+    (BASELINE.json config: "[[90,8,10]] and [[108,8,10]], batched
+    multi-code decode in one kernel launch").
+
+    ``specs``: list of dicts with keys dec_z, dec_x, n_locs, error_rate,
+    batch, maxIter, osd_order. Returns fn(key, [(dec_z, dec_x), ...]) ->
+    list of per-code flag dicts.
+    """
+    fns = [make_round_fn(sp["dec_z"], sp["dec_x"], sp["n_locs"],
+                         sp["error_rate"], sp["batch"], sp["maxIter"],
+                         sp["osd_order"]) for sp in specs]
+
+    def multi_round(key, decs):
+        return [fn(jax.random.fold_in(key, i), dz, dx)
+                for i, (fn, (dz, dx)) in enumerate(zip(fns, decs))]
+
+    return multi_round
+
+
 def run_simulation(
     Hx, Hz, Lx, Lz, error_rate, num_trials=1000, num_cycles=12,
     maxIter=50, osd_order=0, use_dynamic_alpha=True,

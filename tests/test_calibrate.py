@@ -61,3 +61,19 @@ def test_plot_output(tmp_path, setup72):
                                       plot_path=path)
     import os
     assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_x_basis_estimation_not_degenerate():
+    """X-basis decoding graphs contain degree-1 check rows whose messages
+    carry the decoder's finite infinity (_BIG); the fit must drop them like
+    the reference drops +-inf, or every alpha collapses to 0."""
+    import jax
+    code = get_code("[[72, 12, 6]]")
+    circ = SyndromeCircuit(code, num_cycles=3)
+    M = build_decoding_matrices(circ, code.Lx, code.Lz, 0.008)
+    llrs_x = channel_llrs(M["channel_probsX"])
+    av, r2 = calibrate.estimate_alpha_alvarado_autoregressive(
+        M["HdecX"], 0.008, 3, trials=200, llrs=llrs_x,
+        key=jax.random.key(12))
+    assert np.all(av > 0.05), av
+    assert np.all(av < 2.0), av

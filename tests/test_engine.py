@@ -83,3 +83,28 @@ def test_reference_format_precomputed_matrices(code72):
         run_simulation(c.Hx, c.Hz, c.Lx, c.Lz, 0.008, num_cycles=3,
                        maxIter=8, precomputed_matrices=bad, max_trials=8,
                        batch_size=2, verbose=False, **bb_kwargs(c))
+
+
+def test_multi_code_single_launch():
+    """Two codes decoded in ONE jitted launch (multi-code batching)."""
+    import jax
+    from qldpc_tpu import SyndromeCircuit, build_decoding_matrices
+    from qldpc_tpu.ops.bp import alpha_schedule
+    from qldpc_tpu.parallel.engine import (_make_basis, make_key,
+                                           make_multi_code_round_fn)
+    specs, decs = [], []
+    for name in ("[[72, 12, 6]]", "[[90, 8, 10]]"):
+        code = get_code(name)
+        circ = SyndromeCircuit(code, num_cycles=2)
+        M = build_decoding_matrices(circ, code.Lx, code.Lz, 0.01)
+        seq = alpha_schedule("dynamical", 4)
+        dz = _make_basis(circ, M, "Z", seq, osd_order=0)
+        dx = _make_basis(circ, M, "X", seq, osd_order=0)
+        specs.append(dict(dec_z=dz, dec_x=dx, n_locs=circ.num_error_locs,
+                          error_rate=0.01, batch=8, maxIter=4, osd_order=0))
+        decs.append((dz, dx))
+    fn = jax.jit(make_multi_code_round_fn(specs))
+    outs = jax.device_get(fn(make_key(0), decs))
+    assert len(outs) == 2
+    for out in outs:
+        assert out["any_err"].shape == (8,)
