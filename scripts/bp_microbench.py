@@ -22,10 +22,11 @@ from qldpc_tpu.utils.caching import compute_cache_key, load_matrices
 
 
 def timed(name, fn, *args, reps=5):
-    jax.block_until_ready(fn(*args))
+    # device_get, not block_until_ready: see profile_round.py note
+    jax.device_get(fn(*args))
     t0 = time.time()
     for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+        out = jax.device_get(fn(*args))
     print(f"{name:38s} {(time.time()-t0)/reps*1e3:8.2f} ms")
     return out
 

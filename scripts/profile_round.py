@@ -26,10 +26,12 @@ from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
 
 
 def timed(name, fn, *args, reps=5):
-    out = jax.block_until_ready(fn(*args))  # compile
+    # device_get, not block_until_ready: the remote backend's block has
+    # been observed returning early, which silently inflates throughput
+    out = jax.device_get(fn(*args))  # compile
     t0 = time.time()
     for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+        out = jax.device_get(fn(*args))
     dt = (time.time() - t0) / reps
     print(f"{name:34s} {dt * 1e3:9.2f} ms")
     return out, dt
