@@ -103,20 +103,23 @@ def alpha_schedule(mode: str, maxIter: int, alpha=1.0) -> np.ndarray:
 
 def _check_update(Q_rows, sgn_syn, alpha):
     """Two-pass min-sum check update. Q_rows (m, dr, B); padded lanes hold
-    +_BIG. Returns R_rows with exact first-argmin min1/min2 semantics."""
+    +_BIG. Returns R_rows with exact first-argmin min1/min2 semantics.
+    All arithmetic stays in Q_rows.dtype (f32 or bf16)."""
+    dt = Q_rows.dtype
     absQ = jnp.abs(Q_rows)
     neg = Q_rows < 0.0
     row_neg = jnp.sum(neg, axis=1) & 1                      # (m, B)
-    sgn_prod = jnp.where(row_neg == 1, -1.0, 1.0) * sgn_syn  # (m, B)
+    sgn_prod = (jnp.where(row_neg == 1, -1.0, 1.0).astype(dt)
+                * sgn_syn.astype(dt))                       # (m, B)
     min1 = jnp.min(absQ, axis=1, keepdims=True)             # (m, 1, B)
     idx1 = jnp.argmin(absQ, axis=1)                          # (m, B) first min
-    dr = Q_rows.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, Q_rows.shape, 1)
     is_min1 = lane == idx1[:, None, :]
-    min2 = jnp.min(jnp.where(is_min1, _BIG, absQ), axis=1, keepdims=True)
+    min2 = jnp.min(jnp.where(is_min1, jnp.asarray(_BIG, dt), absQ),
+                   axis=1, keepdims=True)
     mag = jnp.where(is_min1, min2, min1)
-    sgn_q = jnp.where(neg, -1.0, 1.0)
-    return alpha * sgn_prod[:, None, :] * sgn_q * mag
+    sgn_q = jnp.where(neg, -1.0, 1.0).astype(dt)
+    return alpha.astype(dt) * sgn_prod[:, None, :] * sgn_q * mag
 
 
 def _variable_update(R_rows, prior, graph: TannerGraph, mask3):
@@ -128,12 +131,16 @@ def _variable_update(R_rows, prior, graph: TannerGraph, mask3):
     with the same indices — gathers dominate the iteration cost on TPU.
     """
     B = R_rows.shape[-1]
-    R_flat = jnp.where(mask3, R_rows, 0.0).reshape(graph.m * graph.dr, B)
-    R_flat = jnp.concatenate([R_flat, jnp.zeros((1, B), R_flat.dtype)], 0)
+    dt = R_rows.dtype
+    R_flat = jnp.where(mask3, R_rows, jnp.asarray(0.0, dt))
+    R_flat = R_flat.reshape(graph.m * graph.dr, B)
+    R_flat = jnp.concatenate([R_flat, jnp.zeros((1, B), dt)], 0)
     R_cols = jnp.take(R_flat, graph.col_edges.reshape(-1), axis=0)
     R_cols = R_cols.reshape(graph.n, graph.dc, B)
-    values = prior[:, None] + jnp.sum(R_cols, axis=1)        # (n, B)
-    vals_pad = jnp.concatenate([values, jnp.zeros((1, B), values.dtype)], 0)
+    # posterior accumulation in f32 regardless of message dtype
+    values = prior[:, None] + jnp.sum(R_cols, axis=1, dtype=jnp.float32)
+    vals_pad = jnp.concatenate(
+        [values.astype(dt), jnp.zeros((1, B), dt)], 0)
     vals_rows = jnp.take(vals_pad, graph.row_cols.reshape(-1), axis=0)
     vals_rows = vals_rows.reshape(graph.m, graph.dr, B)
     return values, vals_rows - R_rows, vals_rows
@@ -147,9 +154,10 @@ def _syndrome_of(hard, graph: TannerGraph):
     return jnp.sum(h_rows.reshape(graph.m, graph.dr, B), axis=1) & 1
 
 
-@partial(jax.jit, static_argnames=("maxIter", "damping"))
+@partial(jax.jit, static_argnames=("maxIter", "damping", "msg_dtype"))
 def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
-                 maxIter: int, damping: float = 1.0, clip_llr: float = 20.0):
+                 maxIter: int, damping: float = 1.0, clip_llr: float = 20.0,
+                 msg_dtype=jnp.float32):
     """Decode a batch of syndromes.
 
     Args:
@@ -158,12 +166,18 @@ def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
       prior: (n,) f32 channel LLRs.
       alpha_seq: (maxIter,) f32 per-iteration normalization.
       maxIter, damping, clip_llr: as in the reference decoders.
+      msg_dtype: storage/compute dtype of the edge messages. float32 matches
+        the reference bit-for-bit; bfloat16 halves the gather traffic that
+        dominates the iteration cost on TPU (posterior accumulation stays
+        f32) at statistically negligible LER cost — validated in
+        tests/test_bp.py and scripts/validate_ler.py.
 
     Returns dict: hard (B, n) int8 error estimate, converged (B,) bool,
     values (B, n) f32 posterior LLRs, iterations (B,) int32 — all frozen at
     each shot's first syndrome-satisfying iteration.
     """
     B = syndrome.shape[0]
+    dt = jnp.dtype(msg_dtype)
     syn = syndrome.T.astype(jnp.int32)                       # (m, B)
     sgn_syn = (1.0 - 2.0 * syn).astype(jnp.float32)
     prior = prior.astype(jnp.float32)
@@ -171,19 +185,22 @@ def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
     prior_pad = jnp.concatenate([prior, jnp.zeros((1,), jnp.float32)])
     Q0 = jnp.take(prior_pad, graph.row_cols.reshape(-1), axis=0)
     Q0 = jnp.broadcast_to(Q0.reshape(graph.m, graph.dr, 1),
-                          (graph.m, graph.dr, B))
-    Q0 = jnp.where(mask3, Q0, _BIG)
+                          (graph.m, graph.dr, B)).astype(dt)
+    Q0 = jnp.where(mask3, Q0, jnp.asarray(_BIG, dt))
+    clip_lo = jnp.asarray(-clip_llr, dt)
+    clip_hi = jnp.asarray(clip_llr, dt)
 
     def body(state):
         it, Q, Qold, done, vals, iters = state
         alpha = alpha_seq[it]
         R = _check_update(Q, sgn_syn, alpha)
         values, Q_new, vals_rows = _variable_update(R, prior, graph, mask3)
-        Q_new = jnp.clip(Q_new, -clip_llr, clip_llr)
+        Q_new = jnp.clip(Q_new, clip_lo, clip_hi)
         if damping != 1.0:
-            Q_new = damping * Q_new + (1.0 - damping) * Qold
-            Q_new = jnp.clip(Q_new, -clip_llr, clip_llr)
-        Q_new = jnp.where(mask3, Q_new, _BIG)
+            Q_new = (jnp.asarray(damping, dt) * Q_new
+                     + jnp.asarray(1.0 - damping, dt) * Qold)
+            Q_new = jnp.clip(Q_new, clip_lo, clip_hi)
+        Q_new = jnp.where(mask3, Q_new, jnp.asarray(_BIG, dt))
         # syndrome check reuses the row-layout posterior gather: the hard
         # decision of edge (i, d) is vals_rows < 0 (padding gathers a 0)
         hard_rows = ((vals_rows < 0.0) & graph.row_mask[:, :, None])

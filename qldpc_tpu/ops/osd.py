@@ -152,9 +152,21 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     rank_deficient = ~valid0
 
     if order > 0 and num_test > 0:
-        e_perm, valid = _reprocess(
-            Hp, s_red, used, prow_of_col, is_pivot, e0_perm, valid0,
-            llr, hard, colsK, order, num_test, B, K, m)
+        # The reference returns OSD-0 straight away whenever it reproduces
+        # the syndrome (reference osd.py:27-29); physical syndromes are
+        # always in H's column space so that is the overwhelmingly common
+        # case. Guard the whole order-w search behind a runtime cond so the
+        # O(B*m*C) combination scoring is paid only when some shot's OSD-0
+        # actually failed — the cond's result is bit-identical because
+        # _reprocess itself keeps e0_perm for valid0 shots.
+        def run_reprocess(_):
+            return _reprocess(
+                Hp, s_red, used, prow_of_col, is_pivot, e0_perm, valid0,
+                llr, hard, colsK, order, num_test, B, K, m)
+
+        e_perm, valid = jax.lax.cond(
+            jnp.all(valid0), lambda _: (e0_perm.astype(jnp.int32), valid0),
+            run_reprocess, operand=None)
     else:
         e_perm, valid = e0_perm, valid0
 

@@ -120,7 +120,7 @@ jax.tree_util.register_pytree_node(
 
 def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
                       osd_order: int, damping: float, clip_llr: float,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, msg_dtype=jnp.float32):
     """BP, OSD fallback for unconverged shots, logical comparison.
 
     OSD applies only to BP-failed shots (reference engine.py:96-97). Under
@@ -129,7 +129,8 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
     expensive elimination is paid only for ~the unconverged fraction."""
     B = syndrome.shape[0]
     bp = decode_batch(dec.graph, syndrome, dec.prior, dec.alpha_seq,
-                      maxIter, damping=damping, clip_llr=clip_llr)
+                      maxIter, damping=damping, clip_llr=clip_llr,
+                      msg_dtype=msg_dtype)
     conv = bp["converged"]
     order = jnp.argsort(conv)                       # unconverged first
     syn_s = jnp.take(syndrome, order, axis=0)
@@ -166,7 +167,8 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
 def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
                   error_rate: float, batch: int, maxIter: int,
                   osd_order: int, damping: float = 1.0,
-                  clip_llr: float = 20.0, use_pallas: bool = None):
+                  clip_llr: float = 20.0, use_pallas: bool = None,
+                  msg_dtype=None):
     """Build the per-device decode-round function:
     (key, dec_z, dec_x) -> per-shot flags.
 
@@ -178,6 +180,11 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
     if use_pallas is None:  # VMEM elimination kernel on real TPU only
         # (the TPU platform may be named 'tpu' or a plugin name like 'axon')
         use_pallas = jax.default_backend() != "cpu"
+    if msg_dtype is None:
+        # bf16 BP messages on real TPU (halves the gather traffic that
+        # dominates BP cost; LER-validated), exact f32 on CPU/test meshes
+        msg_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" \
+            else jnp.float32
 
     def round_fn(key, dec_z=dec_z, dec_x=dec_x):
         err, pauli, cat2 = sample_gate_randoms(key, batch, n_locs, error_rate)
@@ -189,7 +196,7 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
             true_log = aug[:, dec.maps.num_syn:]
             e, conv = _decode_one_basis(syndrome, true_log, dec, maxIter,
                                         osd_order, damping, clip_llr,
-                                        use_pallas)
+                                        use_pallas, msg_dtype)
             out[f"{name}_err"] = e
             out[f"{name}_conv"] = conv
         out["any_err"] = out["z_err"] | out["x_err"]

@@ -22,11 +22,15 @@ from qldpc_tpu.utils.caching import compute_cache_key, load_matrices
 
 
 def timed(name, fn, *args, reps=5):
-    # device_get, not block_until_ready: see profile_round.py note
-    jax.device_get(fn(*args))
+    # device_get, not block_until_ready: see profile_round.py note.
+    # Reduce outputs to scalars ON DEVICE: transferring a (m, dr, B) array
+    # over the remote tunnel costs >1s and would swamp the kernel timing.
+    small = jax.jit(lambda *a: jax.tree.map(
+        lambda x: jnp.asarray(x).astype(jnp.float32).sum(), fn(*a)))
+    jax.device_get(small(*args))
     t0 = time.time()
     for _ in range(reps):
-        out = jax.device_get(fn(*args))
+        out = jax.device_get(small(*args))
     print(f"{name:38s} {(time.time()-t0)/reps*1e3:8.2f} ms")
     return out
 

@@ -17,9 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, get_code
 from qldpc_tpu.ops import sampler
 from qldpc_tpu.ops.bp import alpha_schedule, decode_batch
+from qldpc_tpu.ops.osd import osd_batch
 from qldpc_tpu.parallel.engine import _make_basis, make_round_fn
 from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
                                      save_matrices)
@@ -27,7 +30,9 @@ from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
 
 def timed(name, fn, *args, reps=5):
     # device_get, not block_until_ready: the remote backend's block has
-    # been observed returning early, which silently inflates throughput
+    # been observed returning early, which silently inflates throughput.
+    # Large outputs skew remote-tunnel timing, so fn should reduce
+    # big arrays to scalars on device before returning.
     out = jax.device_get(fn(*args))  # compile
     t0 = time.time()
     for _ in range(reps):
@@ -58,15 +63,42 @@ def main():
     from qldpc_tpu.parallel.engine import make_key
     key = make_key(0)
 
+    use_pallas = jax.default_backend() != "cpu"
     samp = jax.jit(lambda k: sampler.trial_batch(
         k, p, dz.maps, dx.maps, circ.num_error_locs, batch=B))
-    out, _ = timed("sample + syndrome (both bases)", samp, key)
+    out, _ = timed("sample + syndrome (both bases)",
+                   lambda k: {n: v.sum() for n, v in samp(k).items()}, key)
+    syn_z = jax.device_get(samp(key)["syndrome_z"])
 
-    bp = jax.jit(lambda s: decode_batch(dz.graph, s, dz.prior, dz.alpha_seq,
-                                        maxIter))
-    bp_out, _ = timed("BP Z-basis", bp, out["syndrome_z"])
-    conv = np.asarray(bp_out["converged"]).mean()
+    def bp_small(s, dt):  # reduce outputs on device: honest remote timing
+        r = decode_batch(dz.graph, s, dz.prior, dz.alpha_seq, maxIter,
+                         msg_dtype=dt)
+        return (r["converged"].sum(), r["hard"].sum(), r["values"].sum(),
+                r["iterations"].max())
+    bp_out, _ = timed("BP Z-basis f32",
+                      jax.jit(partial(bp_small, dt=jnp.float32)), syn_z)
+    conv = float(bp_out[0]) / B
     print(f"{'':34s} (BP Z convergence {conv:.2%})")
+    bp_out, _ = timed("BP Z-basis bf16",
+                      jax.jit(partial(bp_small, dt=jnp.bfloat16)), syn_z)
+    print(f"{'':34s} (BP Z bf16 convergence {float(bp_out[0]) / B:.2%})")
+
+    def osd_small(s, v, h):
+        r = osd_batch(dz.H, dz.HT_bf16, s, v, h, K=dz.K, order=osd_order,
+                      num_test=dz.num_test, use_pallas=use_pallas,
+                      rank=dz.rank)
+        return (r["solution"].sum(), r["valid"].sum(),
+                r["rank_deficient"].sum())
+    bp_full = jax.jit(lambda s: decode_batch(
+        dz.graph, s, dz.prior, dz.alpha_seq, maxIter, msg_dtype=jnp.bfloat16))
+    r = bp_full(jnp.asarray(syn_z))
+    # keep inputs resident on device: host->device transfer of the 18MB
+    # posterior array would otherwise dominate the remote-tunnel timing
+    vals, hard = r["values"], r["hard"]
+    out, _ = timed("OSD Z-basis (full batch)", jax.jit(osd_small),
+                   jnp.asarray(syn_z), vals, hard)
+    print(f"{'':34s} (OSD valid {float(out[1]) / B:.2%}, "
+          f"rank_deficient {int(out[2])})")
 
     full = jax.jit(make_round_fn(dz, dx, circ.num_error_locs, p, B,
                                  maxIter, osd_order))

@@ -138,3 +138,38 @@ def test_real_decoding_matrix_convergence():
     assert conv.mean() > 0.7
     for b in np.nonzero(conv)[0]:
         assert np.array_equal((hard[b] @ H.T) % 2, syn[b])
+
+
+def test_bf16_messages_statistically_equivalent():
+    """bf16 edge messages (the TPU production dtype) must track f32: similar
+    convergence rate, and every converged candidate still reproduces its
+    syndrome exactly (the invariant is checked inside the decoder, so a
+    converged flag certifies it; here we re-verify externally)."""
+    code = get_code("[[72, 12, 6]]")
+    circ = SyndromeCircuit(code, num_cycles=3)
+    M = build_decoding_matrices(circ, code.Lx, code.Lz, 0.003)
+    H = (M["HdecZ"] != 0).astype(np.uint8)
+    prior = channel_llrs(M["channel_probsZ"])
+    graph = TannerGraph.from_dense(H)
+    rng = np.random.default_rng(5)
+    B = 128
+    errors = (rng.random((B, H.shape[1])) < M["channel_probsZ"]).astype(np.int8)
+    syn = (errors @ H.T) % 2
+    outs = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        outs[dt] = decode_batch(
+            graph, jnp.asarray(syn), jnp.asarray(prior, dtype=jnp.float32),
+            jnp.asarray(alpha_schedule("dynamical", 20)), 20, msg_dtype=dt)
+    conv32 = np.asarray(outs[jnp.float32]["converged"])
+    conv16 = np.asarray(outs[jnp.bfloat16]["converged"])
+    assert conv16.mean() > 0.7
+    # near-identical per-shot convergence behaviour
+    assert (conv32 == conv16).mean() > 0.95
+    hard16 = np.asarray(outs[jnp.bfloat16]["hard"])
+    for b in np.nonzero(conv16)[0]:
+        assert np.array_equal((hard16[b] @ H.T) % 2, syn[b])
+    # posteriors agree to bf16 resolution on agreeing shots
+    both = conv32 & conv16
+    v32 = np.asarray(outs[jnp.float32]["values"])[both]
+    v16 = np.asarray(outs[jnp.bfloat16]["values"])[both]
+    assert np.mean(np.sign(v32) == np.sign(v16)) > 0.99
