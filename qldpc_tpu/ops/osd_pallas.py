@@ -48,6 +48,8 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
         the caller inverts the mapping to prow_of_col.
     """
     S, W, M = hp_ref.shape
+    # hp/s are input_output_aliased: the elimination runs in place; the
+    # initial copies are no-ops Mosaic elides when in == out
     out_hp_ref[:] = hp_ref[:]
     out_s_ref[:] = s_ref[:]
     colofrow_ref[:] = jnp.full((S, 1, M), -1, jnp.int32)
@@ -128,6 +130,7 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
             jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
         ],
+        input_output_aliases={0: 0, 1: 1},  # eliminate in place
         interpret=interpret,
     )(Hp, s)
     out_hp = jax.lax.bitcast_convert_type(out_hp[:, :W, :], jnp.uint32)
@@ -143,7 +146,10 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
 
 
 def pick_block_shots(m_pad: int, W: int, vmem_budget: int = 9 << 20) -> int:
-    """Largest power-of-two shot block whose matrices fit the VMEM budget."""
-    per_shot = m_pad * W * 4 * 2 + m_pad * 4 * 3  # in+out Hp, s/s_out/used
+    """Largest power-of-two shot block whose matrices fit the VMEM budget.
+    Accounts for the Mosaic 8-sublane padding of W and the grid pipeline's
+    double buffering of the (aliased) matrix block."""
+    W8 = _round_up(max(W, 8), 8)
+    per_shot = m_pad * W8 * 4 * 2 + m_pad * 4 * 6  # 2x-buffered Hp + small
     s = max(1, vmem_budget // max(per_shot, 1))
     return 1 << min(6, max(0, int(np.log2(s))))

@@ -88,7 +88,12 @@ class BasisDecoder:
 
 
 def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
-                osd_margin: int = 512, osd_order: int = 0) -> BasisDecoder:
+                osd_margin: int = 128, osd_order: int = 0) -> BasisDecoder:
+    """osd_margin: reliability-ordered column budget beyond the GF(2) rank
+    for the OSD elimination (K = m + margin). 128 is ~25% faster than the
+    original 512 with zero observed rank deficiency on the BB workloads;
+    deficiency is monitored per shot (``rank_deficient``) and surfaced as
+    an engine warning, never silent."""
     b = basis.upper()
     H = (np.asarray(matrices[f"Hdec{b}"]) != 0).astype(np.uint8)
     probs = matrices[f"channel_probs{b}"]
@@ -139,29 +144,35 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
     conv_s = jnp.take(conv, order, axis=0)
 
     chunk = B if B <= 64 else max(64, B // 8)
-    sols = []
+    sols, rdefs = [], []
     for c0 in range(0, B, chunk):
         c1 = min(c0 + chunk, B)
         args = (syn_s[c0:c1], vals_s[c0:c1], hard_s[c0:c1])
 
         def run_osd(a):
             s, v, h = a
-            return osd_batch(dec.H, dec.HT_bf16, s, v, h, K=dec.K,
-                             order=osd_order, num_test=dec.num_test,
-                             use_pallas=use_pallas,
-                             rank=dec.rank)["solution"]
+            out = osd_batch(dec.H, dec.HT_bf16, s, v, h, K=dec.K,
+                            order=osd_order, num_test=dec.num_test,
+                            use_pallas=use_pallas,
+                            rank=dec.rank)
+            return out["solution"], out["rank_deficient"]
 
-        sols.append(jax.lax.cond(jnp.any(~conv_s[c0:c1]), run_osd,
-                                 lambda a: a[2], args))
+        sol, rdef = jax.lax.cond(
+            jnp.any(~conv_s[c0:c1]), run_osd,
+            lambda a: (a[2], jnp.zeros(a[2].shape[0], bool)), args)
+        sols.append(sol)
+        rdefs.append(rdef)
     osd_sol_s = jnp.concatenate(sols, axis=0)
+    rdef_s = jnp.concatenate(rdefs, axis=0)
     # undo the sort, then keep BP output for converged shots
     osd_sol = jnp.zeros_like(osd_sol_s).at[order].set(osd_sol_s)
+    rdef = jnp.zeros_like(rdef_s).at[order].set(rdef_s) & ~conv
     solution = jnp.where(conv[:, None], bp["hard"], osd_sol)
     dec_log = (jnp.dot(solution.astype(jnp.bfloat16), dec.H_logical,
                        preferred_element_type=jnp.float32)
                .astype(jnp.int32) & 1)
     err = jnp.any(dec_log != true_log.astype(jnp.int32), axis=1)
-    return err, bp["converged"]
+    return err, bp["converged"], rdef
 
 
 def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
@@ -194,11 +205,12 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
             aug = augmented_bits(bits, dec.maps)
             syndrome = aug[:, :dec.maps.num_syn]
             true_log = aug[:, dec.maps.num_syn:]
-            e, conv = _decode_one_basis(syndrome, true_log, dec, maxIter,
-                                        osd_order, damping, clip_llr,
-                                        use_pallas, msg_dtype)
+            e, conv, rdef = _decode_one_basis(syndrome, true_log, dec,
+                                              maxIter, osd_order, damping,
+                                              clip_llr, use_pallas, msg_dtype)
             out[f"{name}_err"] = e
             out[f"{name}_conv"] = conv
+            out[f"{name}_rankdef"] = rdef
         out["any_err"] = out["z_err"] | out["x_err"]
         return out
 
@@ -360,14 +372,24 @@ def run_simulation(
 
     key = make_key(base_seed)
     z_errs = x_errs = tot_errs = trials_run = 0
+    rankdef_seen = 0
     t_start = time.time()
     t_steady = None  # set after the first (compile-bearing) round
     steady_trials = 0
     round_idx = 0
+    # Keep up to 2 rounds in flight: device dispatch over the TPU transport
+    # has tens of ms of fixed latency per call, which pipelining hides
+    # (results stream back in order; an unused final in-flight round is the
+    # only waste). PIPELINE_DEPTH=1 restores strictly serial rounds.
+    PIPELINE_DEPTH = 2
+    from collections import deque
+    inflight: deque = deque()
     while trials_run < max_trials:
-        flags = jax.device_get(sharded(jax.random.fold_in(key, round_idx),
-                                       dec_z, dec_x))
-        round_idx += 1
+        while len(inflight) < PIPELINE_DEPTH:
+            inflight.append(sharded(jax.random.fold_in(key, round_idx),
+                                    dec_z, dec_x))
+            round_idx += 1
+        flags = jax.device_get(inflight.popleft())
         take = min(round_shots, max_trials - trials_run)
         z = np.asarray(flags["z_err"][:take])
         x = np.asarray(flags["x_err"][:take])
@@ -383,6 +405,14 @@ def run_simulation(
         z_errs += int(z.sum())
         x_errs += int(x.sum())
         tot_errs += int(a.sum())
+        rd = (int(np.asarray(flags["z_rankdef"][:take]).sum())
+              + int(np.asarray(flags["x_rankdef"][:take]).sum()))
+        if rd:
+            rankdef_seen += rd
+            logger.warning(
+                "OSD rank deficiency on %d shot-bases this round — the "
+                "K=m+margin column truncation fell short of full rank; "
+                "re-run with a larger osd_margin for these settings", rd)
         if t_steady is None:  # first round carries the compile cost
             t_steady = time.time()
             steady_trials = trials_run
@@ -407,6 +437,7 @@ def run_simulation(
                           else trials_run / max(elapsed, 1e-9)),
         "elapsed_sec": elapsed,
         "num_devices": n_dev,
+        "osd_rank_deficient_shots": rankdef_seen,
     }
     result.update(result_extra)
     return result
