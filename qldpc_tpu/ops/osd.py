@@ -117,14 +117,18 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     # reliability ordering; gather + bit-pack the K least-reliable columns
     order_idx = jnp.argsort(jnp.abs(llr), axis=1)               # (B, n)
     colsK = order_idx[:, :K]                                     # (B, K)
-    Hp = _gather_pack(H, colsK, Kp)                              # (B, m, Kp/32)
 
+    refine_for_reprocess = None
     if use_pallas:
-        # VMEM-resident elimination kernel (osd_pallas.py): checks-on-lanes
-        # layout in, converted back to the (B, m, W) convention after
+        # VMEM-resident elimination kernel (osd_pallas.py). The gather+pack
+        # lands straight in its checks-on-lanes layout (no unpacked-array
+        # transposes). The default left-skipping kernel leaves dependent
+        # columns left of a pivot's word group stale — everything OSD-0
+        # reads (s_red, pivots, used, validity) is exact; the fully-reduced
+        # matrix is recomputed on demand inside the reprocess cond.
         from .osd_pallas import eliminate_blocks, pick_block_shots
         M_pad = -(-m // 128) * 128
-        HpT = jnp.pad(jnp.transpose(Hp, (0, 2, 1)),
+        HpT = jnp.pad(jnp.transpose(_gather_pack(H, colsK, Kp), (0, 2, 1)),
                       ((0, 0), (0, 0), (0, M_pad - m)))
         s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
         S = pick_block_shots(M_pad, HpT.shape[1])
@@ -132,10 +136,16 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
             S //= 2
         hp_out, s_out, prow_of_col, used_p = eliminate_blocks(
             HpT, s_pad, K, m, block_shots=S, rank=rank)
-        Hp = jnp.transpose(hp_out, (0, 2, 1))[:, :m, :]
+        Hp = None  # only the (rare) reprocess path materializes it
         s_red = s_out[:, :m]
         used = used_p[:, :m]
+
+        def refine_for_reprocess():
+            hp_full, *_ = eliminate_blocks(HpT, s_pad, K, m, block_shots=S,
+                                           rank=rank, full_jordan=True)
+            return jnp.transpose(hp_full, (0, 2, 1))[:, :m, :]
     else:
+        Hp = _gather_pack(H, colsK, Kp)                          # (B, m, W)
         Hp, s_red, used, prow_of_col = _eliminate_xla(Hp, residual, K, m, B)
 
     is_pivot = prow_of_col >= 0                                  # (B, K)
@@ -160,9 +170,11 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
         # actually failed — the cond's result is bit-identical because
         # _reprocess itself keeps e0_perm for valid0 shots.
         def run_reprocess(_):
+            Hp_full = Hp if refine_for_reprocess is None \
+                else refine_for_reprocess()
             return _reprocess(
-                Hp, s_red, used, prow_of_col, is_pivot, e0_perm, valid0,
-                llr, hard, colsK, order, num_test, B, K, m)
+                Hp_full, s_red, used, prow_of_col, is_pivot, e0_perm,
+                valid0, llr, hard, colsK, order, num_test, B, K, m)
 
         e_perm, valid = jax.lax.cond(
             jnp.all(valid0), lambda _: (e0_perm.astype(jnp.int32), valid0),
@@ -170,7 +182,10 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     else:
         e_perm, valid = e0_perm, valid0
 
-    # scatter correction back to original coordinates and apply to hard
+    # scatter correction back to original coordinates and apply to hard.
+    # (Measured: this 2D scatter costs ~4.5ms at B=512 on v5e; the
+    # "cleverer" inverse-permutation gather costs 46ms because
+    # take_along_axis on the lane axis is per-lane dynamic indexing.)
     corr = jnp.zeros((B, n), jnp.int32)
     corr = corr.at[jnp.arange(B)[:, None], colsK].set(e_perm)
     solution = (hard.astype(jnp.int32) ^ corr).astype(jnp.int8)

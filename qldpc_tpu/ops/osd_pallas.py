@@ -32,8 +32,11 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+_WORD_GROUP = 8  # words per unrolled tail group (left-skip granularity)
+
+
 def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
-                 *, K: int, m: int, rank: int):
+                 *, K: int, m: int, rank: int, full_jordan: bool = False):
     """One shot-block: eliminate K columns fully in VMEM.
 
     hp_ref/out_hp_ref: (S, W, M) int32 word bit-patterns (Mosaic has no
@@ -46,6 +49,17 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
         unused). Recorded as a lane-masked full-row write because dynamic
         minor-dimension stores (prow_of_col[col] = piv) are not 128-aligned;
         the caller inverts the mapping to prow_of_col.
+
+    Left-word skipping: the column loop is unrolled over static groups of
+    _WORD_GROUP words; while eliminating columns of group g, the pivot-row
+    extraction and the XOR update only touch words [g*_WORD_GROUP:]. Words
+    to the LEFT of the current group are never read again by pivot
+    selection or the syndrome reduction, so skipping them leaves the pivot
+    sequence, s_red, colofrow, and all words >= the pivot's own group
+    identical to full Gauss-Jordan. The only difference is that already-
+    processed NON-pivot (dependent) columns are not kept fully reduced —
+    exactly the part only the order-w reprocess reads, which re-reduces
+    under its own runtime cond (see osd.py) before use.
     """
     S, W, M = hp_ref.shape
     # hp/s are input_output_aliased: the elimination runs in place; the
@@ -56,47 +70,69 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
     valid_lane = lane < m
 
-    def step(carry):
-        col, _ = carry
-        w = col // 32
-        bit = col % 32
-        word = out_hp_ref[:, pl.ds(w, 1), :][:, 0, :]            # (S, M)
-        colbits = (word >> bit) & jnp.int32(1)
-        cand = (colbits == 1) & (colofrow_ref[:, 0, :] < 0) & valid_lane
-        piv = jnp.min(jnp.where(cand, lane, M), axis=1,
-                      keepdims=True)                             # (S, 1)
-        has = piv < M
-        pivmask = (lane == piv) & has                            # (S, M)
-        # pivot row extraction: masked lane reduction (no per-lane gather)
-        prow = jnp.sum(jnp.where(pivmask[:, None, :], out_hp_ref[:], 0),
-                       axis=2, keepdims=True)                    # (S, W, 1)
-        ps = jnp.sum(jnp.where(pivmask, out_s_ref[:, 0, :], 0), axis=1,
-                     keepdims=True)                              # (S, 1)
-        elim = (colbits == 1) & ~pivmask & has                   # (S, M)
-        out_hp_ref[:] = jnp.where(elim[:, None, :],
-                                  out_hp_ref[:] ^ prow, out_hp_ref[:])
-        out_s_ref[:, 0, :] = jnp.where(elim, out_s_ref[:, 0, :] ^ ps,
-                                       out_s_ref[:, 0, :])
-        colofrow_ref[:, 0, :] = jnp.where(pivmask, col,
-                                          colofrow_ref[:, 0, :])
-        # early exit: once every shot in the block has `rank` pivots, no
-        # remaining column can pivot (it lies in the pivot span after full
-        # Jordan) or trigger row ops — identical results, fewer steps
-        npiv = jnp.sum((colofrow_ref[:, 0, :] >= 0).astype(jnp.int32),
-                       axis=1)
-        return col + 1, jnp.all(npiv >= rank)
+    def make_step(g0: int, Wt: int):
+        """Elimination step touching only words [g0 : g0 + Wt)."""
 
-    jax.lax.while_loop(lambda c: (c[0] < K) & ~c[1], step,
-                       (jnp.int32(0), jnp.bool_(False)))
+        def step(carry):
+            col, _ = carry
+            w = col // 32
+            bit = col % 32
+            word = out_hp_ref[:, pl.ds(w, 1), :][:, 0, :]        # (S, M)
+            colbits = (word >> bit) & jnp.int32(1)
+            cand = (colbits == 1) & (colofrow_ref[:, 0, :] < 0) & valid_lane
+            piv = jnp.min(jnp.where(cand, lane, M), axis=1,
+                          keepdims=True)                         # (S, 1)
+            has = piv < M
+            pivmask = (lane == piv) & has                        # (S, M)
+            tail = out_hp_ref[:, pl.ds(g0, Wt), :]               # static slice
+            # pivot row extraction: masked lane reduction (no per-lane gather)
+            prow = jnp.sum(jnp.where(pivmask[:, None, :], tail, 0),
+                           axis=2, keepdims=True)                # (S, Wt, 1)
+            ps = jnp.sum(jnp.where(pivmask, out_s_ref[:, 0, :], 0), axis=1,
+                         keepdims=True)                          # (S, 1)
+            elim = (colbits == 1) & ~pivmask & has               # (S, M)
+            out_hp_ref[:, pl.ds(g0, Wt), :] = jnp.where(
+                elim[:, None, :], tail ^ prow, tail)
+            out_s_ref[:, 0, :] = jnp.where(elim, out_s_ref[:, 0, :] ^ ps,
+                                           out_s_ref[:, 0, :])
+            colofrow_ref[:, 0, :] = jnp.where(pivmask, col,
+                                              colofrow_ref[:, 0, :])
+            # early exit: once every shot in the block has `rank` pivots,
+            # no remaining column can pivot (it lies in the pivot span) or
+            # trigger row ops — identical results, fewer steps
+            npiv = jnp.sum((colofrow_ref[:, 0, :] >= 0).astype(jnp.int32),
+                           axis=1)
+            return col + 1, jnp.all(npiv >= rank)
+
+        return step
+
+    done = jnp.bool_(False)
+    group = W if full_jordan else _WORD_GROUP
+    for g in range(0, W, group):
+        Wt = W - g
+        c_end = min((g + group) * 32, K)
+        _, done = jax.lax.while_loop(
+            lambda c, e=c_end: (c[0] < e) & ~c[1], make_step(g, Wt),
+            (jnp.int32(g * 32), done))
+        if g * 32 >= K:
+            break
 
 
 @functools.partial(jax.jit, static_argnames=("K", "m", "block_shots",
-                                             "interpret", "rank"))
+                                             "interpret", "rank",
+                                             "full_jordan"))
 def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
-                     interpret: bool = False, rank: int = None):
+                     interpret: bool = False, rank: int = None,
+                     full_jordan: bool = False):
     """Batched elimination. Hp (B, W, M) uint32 (M = lane-padded checks;
     W padded to a multiple of 8 internally), s (B, M) int32. Returns
-    (Hp_reduced (B, W, M), s_reduced, prow_of_col (B, K), used (B, M))."""
+    (Hp_reduced (B, W, M), s_reduced, prow_of_col (B, K), used (B, M)).
+
+    With full_jordan=False (default), already-passed words are skipped in
+    the row updates: s_reduced/prow_of_col/used and all pivot columns are
+    identical to full Gauss-Jordan, but dependent (non-pivot) columns left
+    of a pivot's word group are stale. Pass full_jordan=True when the
+    fully-reduced matrix itself is needed (OSD order-w reprocessing)."""
     B, W, M = Hp.shape
     W8 = _round_up(max(W, 8), 8)  # Mosaic: second-minor block dim % 8 == 0
     if W8 != W:
@@ -107,7 +143,8 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
     assert B % S == 0, (B, S)
     grid = (B // S,)
     kernel = functools.partial(_elim_kernel, K=K, m=m,
-                               rank=m if rank is None else rank)
+                               rank=m if rank is None else rank,
+                               full_jordan=full_jordan)
     out_hp, out_s, colofrow = pl.pallas_call(
         kernel,
         grid=grid,
@@ -131,6 +168,8 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
             jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
         ],
         input_output_aliases={0: 0, 1: 1},  # eliminate in place
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(Hp, s)
     out_hp = jax.lax.bitcast_convert_type(out_hp[:, :W, :], jnp.uint32)
@@ -145,10 +184,12 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
     return out_hp, out_s, prow_of_col, used
 
 
-def pick_block_shots(m_pad: int, W: int, vmem_budget: int = 9 << 20) -> int:
-    """Largest power-of-two shot block whose matrices fit the VMEM budget.
-    Accounts for the Mosaic 8-sublane padding of W and the grid pipeline's
-    double buffering of the (aliased) matrix block."""
+def pick_block_shots(m_pad: int, W: int, vmem_budget: int = 26 << 20) -> int:
+    """Largest power-of-two shot block whose matrices fit the VMEM budget
+    (the kernel requests a raised vmem_limit_bytes; bigger blocks amortize
+    the per-step loop overhead across more shots). Accounts for the Mosaic
+    8-sublane padding of W and the grid pipeline's double buffering of the
+    (aliased) matrix block."""
     W8 = _round_up(max(W, 8), 8)
     per_shot = m_pad * W8 * 4 * 2 + m_pad * 4 * 6  # 2x-buffered Hp + small
     s = max(1, vmem_budget // max(per_shot, 1))

@@ -72,3 +72,49 @@ def test_osd_batch_pallas_end_to_end():
                           np.asarray(r_xla["solution"]))
     assert np.array_equal(np.asarray(r_pallas["valid"]),
                           np.asarray(r_xla["valid"]))
+
+
+def test_left_skip_matches_xla_wide():
+    """K > 256 engages the left-skipping word groups: s_red / pivots / used
+    must still match full Gauss-Jordan exactly, pivot columns of the
+    reduced matrix must match, and full_jordan=True must reproduce the XLA
+    matrix bit-for-bit."""
+    rng = np.random.default_rng(9)
+    m, n, B = 40, 320, 4
+    K = 288  # W = 9 words -> two groups of 8
+    H = np.zeros((m, n), np.uint8)
+    for j in range(n):
+        H[rng.choice(m, 3, replace=False), j] = 1
+    errors = (rng.random((B, n)) < 0.1).astype(np.int8)
+    residual = jnp.asarray((errors @ H.T) % 2).astype(jnp.int32)
+    cols = jnp.asarray(np.stack([rng.permutation(n)[:K] for _ in range(B)]))
+    Kp = -(-K // 32) * 32
+    Hp = _gather_pack(jnp.asarray(H), cols, Kp)
+
+    xHp, xs, xused, xprow = _eliminate_xla(Hp, residual, K, m, B)
+
+    M_pad = 128
+    HpT = jnp.pad(jnp.transpose(Hp, (0, 2, 1)),
+                  ((0, 0), (0, 0), (0, M_pad - m)))
+    s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
+    for full in (False, True):
+        pHp, ps, pprow, pused = eliminate_blocks(
+            HpT, s_pad, K, m, block_shots=4, interpret=True,
+            full_jordan=full)
+        assert np.array_equal(np.asarray(pprow), np.asarray(xprow))
+        assert np.array_equal(np.asarray(ps)[:, :m], np.asarray(xs))
+        assert np.array_equal(np.asarray(pused)[:, :m], np.asarray(xused))
+        got = np.asarray(jnp.transpose(pHp, (0, 2, 1))[:, :m, :])
+        want = np.asarray(xHp)
+        if full:
+            assert np.array_equal(got, want)
+        else:
+            # pivot columns agree even without the full reduction
+            prow = np.asarray(xprow)
+            for b in range(B):
+                for c in range(K):
+                    if prow[b, c] >= 0:
+                        w, bit = divmod(c, 32)
+                        assert np.array_equal(
+                            (got[b, :, w] >> bit) & 1,
+                            (want[b, :, w] >> bit) & 1), (b, c)
