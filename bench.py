@@ -85,7 +85,9 @@ def main():
 
     import os
     maxIter, osd_order = 20, 2
-    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    # 512 is the measured sweet spot on v5e (smaller OSD working set;
+    # round pipelining hides per-dispatch latency at any batch)
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     seq = alpha_schedule("dynamical", maxIter)
     dec_z = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
     dec_x = _make_basis(circ, M, "X", seq, osd_order=osd_order)

@@ -364,7 +364,7 @@ def run_simulation(
         shot_mesh() if len(jax.devices()) > 1 else None)
     n_dev = len(mesh.devices.ravel()) if mesh is not None else 1
     if batch_size is None:
-        batch_size = min(1024, max(128, -(-max_trials // n_dev)))
+        batch_size = min(512, max(128, -(-max_trials // n_dev)))
     round_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, error_rate,
                              batch_size, maxIter, osd_order, damping)
     sharded = shard_rounds(jax.jit(round_fn), mesh)
