@@ -73,6 +73,30 @@ def rank_fast(A) -> int:
     return rank(A)
 
 
+def column_basis(A) -> np.ndarray:
+    """Indices of the greedy (first-independent, natural order) column basis
+    of A over GF(2) — the lexicographically-first ``rank`` columns that span
+    the column space. Used by OSD to complete per-shot reliability-ordered
+    eliminations to full rank (see ops/osd.py)."""
+    A = _as_bits(A)
+    try:
+        from ..native.build import gf2_eliminate_native
+        m, n = A.shape
+        packed = np.packbits(A, axis=1, bitorder="little")
+        pad = (-packed.shape[1]) % 8
+        if pad:
+            packed = np.pad(packed, ((0, 0), (0, pad)))
+        words = np.ascontiguousarray(packed).view(np.uint64)
+        s = np.zeros(m, dtype=np.uint8)
+        prow = gf2_eliminate_native(words, s, n)
+        if prow is not None:
+            return np.nonzero(prow >= 0)[0].astype(np.int32)
+    except Exception:
+        pass
+    _, piv = row_reduce(A, full=False)
+    return piv.astype(np.int32)
+
+
 def nullspace(A) -> np.ndarray:
     """Basis (rows) of {x : A x = 0 over GF(2)}. Shape (n - rank, n)."""
     A = _as_bits(A)

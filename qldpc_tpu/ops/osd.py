@@ -9,11 +9,15 @@ every step fully vectorized over (batch, rows, words) on the VPU.
 
 Truncation: the reference eliminates over all n columns
 (reference src/decoding/osd.py:13-17 + kernels.py:48-106); here elimination
-is restricted to the first K = rank + margin columns in reliability order.
-The greedy pivot set (lexicographically-first independent columns) is
-identical whenever those K columns reach full rank — monitored via the
-returned ``rank_deficient`` flag, which is all-False in practice for the BB
-decoding graphs (margin 512 default).
+runs over the first K = rank + margin columns in reliability order PLUS a
+fixed rank-completing column basis appended after them (``basis_cols``), so
+full rank is always reached without scanning all n columns. The greedy
+pivot set is identical to the reference's whenever the K-prefix already
+reaches full rank (the ~99.5% case); for the rare truncation-deficient shot
+the completing pivots come from the appended basis instead of the
+reference's deeper reliability scan — a different but equally syndrome-valid
+near-ML solution. The appended columns cost nothing on the common path: the
+per-block early exit stops at full rank before ever reaching them.
 
 Order-w reprocessing follows reference osd.py:31-77: OSD-0 returns
 immediately when its syndrome matches (physical syndromes are always in the
@@ -85,7 +89,8 @@ def _gather_pack(H, colsK, Kp: int, chunk: int = 256) -> jax.Array:
 @partial(jax.jit, static_argnames=("K", "order", "num_test", "use_pallas",
                                    "rank"))
 def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
-              num_test: int = 0, use_pallas: bool = False, rank: int = None):
+              num_test: int = 0, use_pallas: bool = False, rank: int = None,
+              basis_cols=None):
     """Batched OSD post-processing of failed-BP shots.
 
     Args:
@@ -98,15 +103,32 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
       order: OSD reprocessing order (0 = OSD-0 only).
       num_test: number of least-reliable non-pivot test positions
         (reference uses order + 10; pass 0 with order=0).
+      basis_cols: optional (R,) int32 — a fixed column basis of H (e.g.
+        gf2.column_basis(H)), appended after the K reliability-ordered
+        columns so elimination always reaches full rank.
 
     Returns dict: solution (B, n) int8, valid (B,) bool (syndrome exactly
-    reproduced), rank_deficient (B,) bool (pivot shortfall vs matrix rank —
-    should never fire with a generous K).
+    reproduced), rank_deficient (B,) bool.
+
+    Truncation safety: when the K least-reliable columns fail to reach full
+    rank for some shot (measured ~0.2-0.7% of shots at p=0.005 on
+    [[144,12,12]] — the completing columns can sit at the very END of the
+    reliability order), the appended ``basis_cols`` complete the pivot set
+    within the same elimination. The appended words are packed ONCE from
+    fixed indices (no per-shot gather) and the per-block early exit stops
+    at full rank, so clean blocks never step into them. A column listed in
+    both the prefix and the basis is reduced to zero by the time the scan
+    reaches its second copy (appended words lie right of every prefix
+    pivot's word group, so left-skipping never leaves them stale) — it can
+    never re-pivot, and the correction scatter adds 0 for it.
+    ``rank_deficient`` then only flags syndromes outside H's column space
+    (impossible for physical syndromes) — or real truncation deficiency
+    when basis_cols is not provided.
     """
     B, n = llr.shape
     m = H.shape[0]
     assert K <= n
-    Kp = -(-K // 32) * 32  # packed width (zero-padded beyond K)
+    Kp = -(-K // 32) * 32  # packed prefix width (zero-padded beyond K)
 
     # residual syndrome the correction must reproduce (reference osd.py:8-9)
     hard_syn = (jnp.dot(hard.astype(jnp.bfloat16), HT,
@@ -118,6 +140,34 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     order_idx = jnp.argsort(jnp.abs(llr), axis=1)               # (B, n)
     colsK = order_idx[:, :K]                                     # (B, K)
 
+    # rank-completing basis appended after the prefix (see docstring):
+    # fixed indices, so packed once and broadcast — no per-shot gather.
+    if basis_cols is not None and K == n:
+        basis_cols = None  # full-width prefix: nothing left to complete
+    if basis_cols is not None:
+        # packed padding slots between prefix and basis would alias column 0
+        # in colsE (and could leak into reprocess test positions) — require
+        # an aligned prefix instead (choose_K always returns one below n)
+        assert K % 32 == 0, "basis_cols requires K % 32 == 0"
+        R = basis_cols.shape[0]
+        Rp = -(-R // 32) * 32
+        Hb_bits = jnp.pad(
+            jnp.take(H.astype(jnp.uint8), basis_cols, axis=1),
+            ((0, 0), (0, Rp - R)))                               # (m, Rp)
+        Hb_words = _pack_columns(Hb_bits)                        # (m, Rp//32)
+        basis_words = jnp.broadcast_to(Hb_words[None],
+                                       (B, m, Rp // 32))
+        colsE = jnp.concatenate(
+            [colsK,
+             jnp.zeros((B, Kp - K), jnp.int32),  # packed padding slots
+             jnp.broadcast_to(basis_cols[None].astype(jnp.int32), (B, R))],
+            axis=1)                                              # (B, KT)
+        KT = Kp + R
+    else:
+        basis_words = None
+        colsE = colsK  # loop bound K never scans the packed padding
+        KT = K
+
     refine_for_reprocess = None
     if use_pallas:
         # VMEM-resident elimination kernel (osd_pallas.py). The gather+pack
@@ -128,25 +178,30 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
         # matrix is recomputed on demand inside the reprocess cond.
         from .osd_pallas import eliminate_blocks, pick_block_shots
         M_pad = -(-m // 128) * 128
-        HpT = jnp.pad(jnp.transpose(_gather_pack(H, colsK, Kp), (0, 2, 1)),
+        packed = _gather_pack(H, colsK, Kp)                      # (B, m, W)
+        if basis_words is not None:
+            packed = jnp.concatenate([packed, basis_words], axis=-1)
+        HpT = jnp.pad(jnp.transpose(packed, (0, 2, 1)),
                       ((0, 0), (0, 0), (0, M_pad - m)))
         s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
         S = pick_block_shots(M_pad, HpT.shape[1])
         while B % S:
             S //= 2
         hp_out, s_out, prow_of_col, used_p = eliminate_blocks(
-            HpT, s_pad, K, m, block_shots=S, rank=rank)
+            HpT, s_pad, KT, m, block_shots=S, rank=rank)
         Hp = None  # only the (rare) reprocess path materializes it
         s_red = s_out[:, :m]
         used = used_p[:, :m]
 
         def refine_for_reprocess():
-            hp_full, *_ = eliminate_blocks(HpT, s_pad, K, m, block_shots=S,
+            hp_full, *_ = eliminate_blocks(HpT, s_pad, KT, m, block_shots=S,
                                            rank=rank, full_jordan=True)
             return jnp.transpose(hp_full, (0, 2, 1))[:, :m, :]
     else:
         Hp = _gather_pack(H, colsK, Kp)                          # (B, m, W)
-        Hp, s_red, used, prow_of_col = _eliminate_xla(Hp, residual, K, m, B)
+        if basis_words is not None:
+            Hp = jnp.concatenate([Hp, basis_words], axis=-1)
+        Hp, s_red, used, prow_of_col = _eliminate_xla(Hp, residual, KT, m, B)
 
     is_pivot = prow_of_col >= 0                                  # (B, K)
     prow_clamped = jnp.maximum(prow_of_col, 0)
@@ -156,9 +211,9 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     # validity: un-pivoted rows must carry zero reduced syndrome
     unsat0 = jnp.sum(jnp.where(~used, s_red, 0), axis=1)         # (B,)
     valid0 = unsat0 == 0
-    # For physically consistent syndromes (always in the column space of H)
-    # an invalid OSD-0 can only mean the K-column truncation fell short of
-    # the matrix rank for this shot's ordering.
+    # With basis_cols appended, elimination always reaches H's full rank, so
+    # an invalid OSD-0 can only mean the syndrome is outside H's column
+    # space; without it, it can also mean K-prefix truncation deficiency.
     rank_deficient = ~valid0
 
     if order > 0 and num_test > 0:
@@ -174,7 +229,7 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
                 else refine_for_reprocess()
             return _reprocess(
                 Hp_full, s_red, used, prow_of_col, is_pivot, e0_perm,
-                valid0, llr, hard, colsK, order, num_test, B, K, m)
+                valid0, llr, hard, colsE, order, num_test, B, KT, m)
 
         e_perm, valid = jax.lax.cond(
             jnp.all(valid0), lambda _: (e0_perm.astype(jnp.int32), valid0),
@@ -186,8 +241,10 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     # (Measured: this 2D scatter costs ~4.5ms at B=512 on v5e; the
     # "cleverer" inverse-permutation gather costs 46ms because
     # take_along_axis on the lane axis is per-lane dynamic indexing.)
+    # .add, not .set: a basis column duplicated from the prefix shares its
+    # slot's index; the duplicate slot can never pivot so it adds 0.
     corr = jnp.zeros((B, n), jnp.int32)
-    corr = corr.at[jnp.arange(B)[:, None], colsK].set(e_perm)
+    corr = corr.at[jnp.arange(B)[:, None], colsE].add(e_perm)
     solution = (hard.astype(jnp.int32) ^ corr).astype(jnp.int8)
     return dict(solution=solution, valid=valid, rank_deficient=rank_deficient)
 
@@ -311,5 +368,12 @@ def _reprocess(Hp, s_red, used, prow_of_col, is_pivot, e0_perm, valid0,
 
 
 def choose_K(m: int, n: int, margin: int = 512) -> int:
-    """Static elimination column budget: rank bound + margin, capped at n."""
-    return min(n, m + margin)
+    """Static elimination column budget: rank bound + margin, capped at n.
+
+    Rounded up to a multiple of 256 so the packed word count lands on the
+    Mosaic 8-word sublane tile exactly: the padding words exist either way,
+    so the extra columns are free robustness against per-shot rank
+    deficiency (the early exit stops at full rank regardless; deeper
+    columns cost steps only for the rare shots that need them)."""
+    K = -(-(m + margin) // 256) * 256
+    return min(n, K)

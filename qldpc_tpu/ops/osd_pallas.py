@@ -32,7 +32,11 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-_WORD_GROUP = 8  # words per unrolled tail group (left-skip granularity)
+def _word_group(W: int) -> int:
+    """Left-skip tail-group width: multiple of 8, at most 5 unrolled
+    sections so kernel code size stays bounded for wide (full-n) matrices."""
+    per_section = -(-W // 5)
+    return max(8, -(-per_section // 8) * 8)
 
 
 def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
@@ -107,7 +111,7 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
         return step
 
     done = jnp.bool_(False)
-    group = W if full_jordan else _WORD_GROUP
+    group = W if full_jordan else _word_group(W)
     for g in range(0, W, group):
         Wt = W - g
         c_end = min((g + group) * 32, K)

@@ -58,6 +58,7 @@ def run_code_capacity(
     seq = jnp.asarray(alpha_schedule(alpha_mode, maxIter, alpha))
     K = choose_K(m, n)
     rank = gf2.rank_fast(H)
+    basis_cols = jnp.asarray(gf2.column_basis(H))
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     L_j = None if L is None else jnp.asarray(
@@ -72,7 +73,8 @@ def run_code_capacity(
         osd = osd_batch(Hj, HT, syn, bp["values"], bp["hard"], K=K,
                         order=osd_order,
                         num_test=(osd_order + 10) if osd_order else 0,
-                        use_pallas=use_pallas, rank=rank)
+                        use_pallas=use_pallas, rank=rank,
+                        basis_cols=basis_cols)
         sol = jnp.where(bp["converged"][:, None], bp["hard"],
                         osd["solution"])
         resid = sol.astype(jnp.int32) ^ e.astype(jnp.int32)

@@ -82,6 +82,7 @@ class BasisDecoder:
     H_logical: jax.Array  # (n, k) bf16 — logical action of each fault class
     prior: jax.Array      # (n,) f32
     alpha_seq: jax.Array  # (maxIter,) f32
+    basis_cols: jax.Array  # (rank,) int32 — fixed rank-completing basis
     K: int
     num_test: int
     rank: int             # GF(2) rank of H (OSD early-exit target)
@@ -109,6 +110,7 @@ def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
         H_logical=jnp.asarray(H_logical.T, dtype=jnp.bfloat16),  # (n, k)
         prior=jnp.asarray(channel_llrs(probs, clip_channel), dtype=jnp.float32),
         alpha_seq=jnp.asarray(alpha_seq, dtype=jnp.float32),
+        basis_cols=jnp.asarray(gf2.column_basis(H)),
         K=choose_K(*H.shape, margin=osd_margin),
         num_test=(osd_order + 10) if osd_order > 0 else 0,
         rank=gf2.rank_fast(H),
@@ -118,7 +120,7 @@ def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
 jax.tree_util.register_pytree_node(
     BasisDecoder,
     lambda d: ((d.maps, d.graph, d.H, d.HT_bf16, d.H_logical, d.prior,
-                d.alpha_seq), (d.K, d.num_test, d.rank)),
+                d.alpha_seq, d.basis_cols), (d.K, d.num_test, d.rank)),
     lambda aux, ch: BasisDecoder(*ch, *aux),
 )
 
@@ -154,7 +156,7 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
             out = osd_batch(dec.H, dec.HT_bf16, s, v, h, K=dec.K,
                             order=osd_order, num_test=dec.num_test,
                             use_pallas=use_pallas,
-                            rank=dec.rank)
+                            rank=dec.rank, basis_cols=dec.basis_cols)
             return out["solution"], out["rank_deficient"]
 
         sol, rdef = jax.lax.cond(

@@ -153,3 +153,47 @@ def test_osd_order2_reprocessing_inconsistent_syndrome():
             return (1e10 + unsat * 1e8 if unsat else 0.0) + float(
                 np.sum(sol * np.abs(llr[b])))
         assert met(sols[b]) <= met(osol) + 1e-3, b
+
+
+def test_truncation_deficiency_basis_completion():
+    """When the K least-reliable columns don't span a needed check, the
+    appended rank-completing basis must still produce a syndrome-reproducing
+    solution (reference semantics eliminate over all n columns), with
+    rank_deficient False. Without the basis, the same input must be flagged
+    rank_deficient."""
+    import jax.numpy as jnp
+    from qldpc_tpu.models.gf2 import column_basis
+    from qldpc_tpu.ops.osd import osd_batch
+
+    rng = np.random.default_rng(3)
+    m, n, K = 8, 64, 32
+    H = np.zeros((m, n), np.uint8)
+    # rows 0..6 covered densely by the first 32 columns
+    for j in range(n - 1):
+        H[rng.choice(7, 3, replace=False), j] = 1
+    # row 7 covered ONLY by the last column
+    H[7, n - 1] = 1
+    # reliability: last column has by far the largest |LLR| -> sorts last
+    llr = rng.normal(2.0, 0.3, (4, n)).astype(np.float32)
+    llr[:, n - 1] = 30.0
+    errors = np.zeros((4, n), np.int8)
+    errors[0, n - 1] = 1          # needs the excluded column
+    errors[1, 3] = 1
+    errors[2, n - 1] = 1
+    errors[2, 5] = 1
+    syn = (errors @ H.T) % 2
+    hard = np.zeros((4, n), np.int8)
+    args = (jnp.asarray(H), jnp.asarray(H.T, dtype=jnp.bfloat16),
+            jnp.asarray(syn), jnp.asarray(llr), jnp.asarray(hard))
+    basis = column_basis(H)
+    assert n - 1 in basis  # the only column covering row 7
+    out = osd_batch(*args, K=K, order=0, num_test=0, use_pallas=False,
+                    basis_cols=jnp.asarray(basis))
+    sol = np.asarray(out["solution"])
+    assert np.asarray(out["valid"]).all()
+    assert not np.asarray(out["rank_deficient"]).any()
+    assert np.array_equal((sol @ H.T) % 2, syn)
+    # without the basis: shots 0 and 2 cannot be completed within K columns
+    out2 = osd_batch(*args, K=K, order=0, num_test=0, use_pallas=False)
+    rdef = np.asarray(out2["rank_deficient"])
+    assert rdef[0] and rdef[2] and not rdef[1] and not rdef[3]
