@@ -40,7 +40,8 @@ def _word_group(W: int) -> int:
 
 
 def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
-                 *, K: int, m: int, rank: int, full_jordan: bool = False):
+                 *, K: int, m: int, rank: int, full_jordan: bool = False,
+                 exit_on_valid: bool = True):
     """One shot-block: eliminate K columns fully in VMEM.
 
     hp_ref/out_hp_ref: (S, W, M) int32 word bit-patterns (Mosaic has no
@@ -101,16 +102,36 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
                                            out_s_ref[:, 0, :])
             colofrow_ref[:, 0, :] = jnp.where(pivmask, col,
                                               colofrow_ref[:, 0, :])
-            # early exit: once every shot in the block has `rank` pivots,
-            # no remaining column can pivot (it lies in the pivot span) or
-            # trigger row ops — identical results, fewer steps
+            # Early exit, per shot: (a) `rank` pivots reached — no remaining
+            # column can pivot or trigger row ops; (b) the residual syndrome
+            # is inside the pivot span (zero on every unused row) — from
+            # here on any new pivot row carries s = 0, so s_red is frozen
+            # and every later pivot's correction bit is 0. Both leave every
+            # consumed output (s_red, OSD-0 solution, validity) identical to
+            # the full scan. (b) matters enormously on BB decoding graphs:
+            # the reliability-ordered prefix is so redundant that full rank
+            # sits beyond column 2000, but ~98% of failed-BP shots are
+            # syndrome-covered within the first 512 columns (measured by
+            # scripts/osd_margin_probe.py).
             npiv = jnp.sum((colofrow_ref[:, 0, :] >= 0).astype(jnp.int32),
                            axis=1)
-            return col + 1, jnp.all(npiv >= rank)
+            shot_done = npiv >= rank
+            if exit_on_valid:
+                unsat = jnp.max(jnp.where((colofrow_ref[:, 0, :] < 0)
+                                          & valid_lane,
+                                          out_s_ref[:, 0, :], 0), axis=1)
+                shot_done = shot_done | (unsat == 0)
+            return col + 1, jnp.all(shot_done)
 
         return step
 
-    done = jnp.bool_(False)
+    if exit_on_valid:
+        # all-zero residuals (e.g. converged shots landing in a mixed OSD
+        # chunk) are valid before any elimination: skip the loop outright
+        done = jnp.all(jnp.max(jnp.where(valid_lane, out_s_ref[:, 0, :], 0),
+                               axis=1) == 0)
+    else:
+        done = jnp.bool_(False)
     group = W if full_jordan else _word_group(W)
     for g in range(0, W, group):
         Wt = W - g
@@ -124,10 +145,10 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
 
 @functools.partial(jax.jit, static_argnames=("K", "m", "block_shots",
                                              "interpret", "rank",
-                                             "full_jordan"))
+                                             "full_jordan", "exit_on_valid"))
 def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
                      interpret: bool = False, rank: int = None,
-                     full_jordan: bool = False):
+                     full_jordan: bool = False, exit_on_valid: bool = True):
     """Batched elimination. Hp (B, W, M) uint32 (M = lane-padded checks;
     W padded to a multiple of 8 internally), s (B, M) int32. Returns
     (Hp_reduced (B, W, M), s_reduced, prow_of_col (B, K), used (B, M)).
@@ -136,7 +157,15 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
     the row updates: s_reduced/prow_of_col/used and all pivot columns are
     identical to full Gauss-Jordan, but dependent (non-pivot) columns left
     of a pivot's word group are stale. Pass full_jordan=True when the
-    fully-reduced matrix itself is needed (OSD order-w reprocessing)."""
+    fully-reduced matrix itself is needed (OSD order-w reprocessing).
+
+    With exit_on_valid=True (default), a shot-block stops scanning once
+    every shot's residual syndrome lies in its pivot span (see the kernel
+    docstring): s_reduced, the OSD-0 solution (pivot correction bits), and
+    per-shot validity are bit-identical to the full scan, but prow_of_col /
+    used omit post-validity pivots (whose correction bits are all zero) and
+    the reduced matrix beyond the exit column is untouched. Pass
+    exit_on_valid=False for bit-exact full-scan outputs (oracle tests)."""
     B, W, M = Hp.shape
     W8 = _round_up(max(W, 8), 8)  # Mosaic: second-minor block dim % 8 == 0
     if W8 != W:
@@ -148,7 +177,8 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
     grid = (B // S,)
     kernel = functools.partial(_elim_kernel, K=K, m=m,
                                rank=m if rank is None else rank,
-                               full_jordan=full_jordan)
+                               full_jordan=full_jordan,
+                               exit_on_valid=exit_on_valid)
     out_hp, out_s, colofrow = pl.pallas_call(
         kernel,
         grid=grid,

@@ -28,7 +28,8 @@ def test_eliminate_blocks_matches_xla():
                   ((0, 0), (0, 0), (0, M_pad - m)))
     s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
     pHp, ps, pprow, pused = eliminate_blocks(HpT, s_pad, K, m,
-                                             block_shots=4, interpret=True)
+                                             block_shots=4, interpret=True,
+                                             exit_on_valid=False)
     assert np.array_equal(np.asarray(pprow), np.asarray(xprow))
     assert np.array_equal(np.asarray(ps)[:, :m], np.asarray(xs))
     assert np.array_equal(
@@ -100,7 +101,7 @@ def test_left_skip_matches_xla_wide():
     for full in (False, True):
         pHp, ps, pprow, pused = eliminate_blocks(
             HpT, s_pad, K, m, block_shots=4, interpret=True,
-            full_jordan=full)
+            full_jordan=full, exit_on_valid=False)
         assert np.array_equal(np.asarray(pprow), np.asarray(xprow))
         assert np.array_equal(np.asarray(ps)[:, :m], np.asarray(xs))
         assert np.array_equal(np.asarray(pused)[:, :m], np.asarray(xused))
@@ -118,3 +119,45 @@ def test_left_skip_matches_xla_wide():
                         assert np.array_equal(
                             (got[b, :, w] >> bit) & 1,
                             (want[b, :, w] >> bit) & 1), (b, c)
+
+
+def test_validity_exit_matches_full_scan():
+    """exit_on_valid=True must leave every CONSUMED output identical to the
+    full scan: s_red, per-shot validity (zero residual on unused rows), and
+    the OSD-0 solution in original coordinates. prow_of_col may omit
+    post-validity pivots — but only ones whose correction bit is zero."""
+    rng = np.random.default_rng(21)
+    m, n, B = 40, 320, 8
+    K = 288
+    H = np.zeros((m, n), np.uint8)
+    for j in range(n):
+        H[rng.choice(m, 3, replace=False), j] = 1
+    errors = (rng.random((B, n)) < 0.08).astype(np.int8)
+    residual = jnp.asarray((errors @ H.T) % 2).astype(jnp.int32)
+    # one all-zero residual: valid before any elimination (loop skipped)
+    residual = residual.at[2].set(0)
+    cols = jnp.asarray(np.stack([rng.permutation(n)[:K] for _ in range(B)]))
+    Kp = -(-K // 32) * 32
+    Hp = _gather_pack(jnp.asarray(H), cols, Kp)
+    M_pad = 128
+    HpT = jnp.pad(jnp.transpose(Hp, (0, 2, 1)),
+                  ((0, 0), (0, 0), (0, M_pad - m)))
+    s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
+
+    outs = {}
+    for exit_valid in (False, True):
+        _, ps, pprow, pused = eliminate_blocks(
+            HpT, s_pad, K, m, block_shots=4, interpret=True,
+            exit_on_valid=exit_valid)
+        ps, pprow, pused = (np.asarray(ps)[:, :m], np.asarray(pprow),
+                            np.asarray(pused)[:, :m])
+        e0 = np.zeros((B, n), np.int32)
+        for b in range(B):
+            for c in range(K):
+                if pprow[b, c] >= 0:
+                    e0[b, int(cols[b, c])] ^= int(ps[b, pprow[b, c]])
+        unsat = np.array([int(ps[b][~pused[b]].sum()) for b in range(B)])
+        outs[exit_valid] = (ps, e0, unsat == 0)
+    for a, b in zip(outs[False], outs[True]):
+        assert np.array_equal(a, b)
+    assert outs[True][2].any()  # some shot did become valid
