@@ -129,19 +129,25 @@ def _variable_update(R_rows, prior, graph: TannerGraph, mask3):
     gather of the posteriors, exposed so the caller's syndrome check can
     reuse it (hard_rows = vals_rows < 0) instead of issuing a second gather
     with the same indices — gathers dominate the iteration cost on TPU.
+
+    Padding is handled on the GATHER-DESTINATION side (clamped indices +
+    masked where): appending a dummy zero row to the 36MB edge tensor costs
+    a full copy of it every iteration, while the col-side mask fuses into
+    the posterior reduction for free. Padded row-layout lanes come back as
+    garbage and are overwritten by the caller's mask3 select.
     """
     B = R_rows.shape[-1]
     dt = R_rows.dtype
-    R_flat = jnp.where(mask3, R_rows, jnp.asarray(0.0, dt))
-    R_flat = R_flat.reshape(graph.m * graph.dr, B)
-    R_flat = jnp.concatenate([R_flat, jnp.zeros((1, B), dt)], 0)
-    R_cols = jnp.take(R_flat, graph.col_edges.reshape(-1), axis=0)
-    R_cols = R_cols.reshape(graph.n, graph.dc, B)
+    R_flat = R_rows.reshape(graph.m * graph.dr, B)
+    # padded col_edges are clamped into range; their values are masked off
+    ce = jnp.minimum(graph.col_edges.reshape(-1), graph.m * graph.dr - 1)
+    R_cols = jnp.take(R_flat, ce, axis=0).reshape(graph.n, graph.dc, B)
+    R_cols = jnp.where(graph.col_mask[:, :, None], R_cols,
+                       jnp.asarray(0.0, dt))
     # posterior accumulation in f32 regardless of message dtype
     values = prior[:, None] + jnp.sum(R_cols, axis=1, dtype=jnp.float32)
-    vals_pad = jnp.concatenate(
-        [values.astype(dt), jnp.zeros((1, B), dt)], 0)
-    vals_rows = jnp.take(vals_pad, graph.row_cols.reshape(-1), axis=0)
+    rc = jnp.minimum(graph.row_cols.reshape(-1), graph.n - 1)
+    vals_rows = jnp.take(values.astype(dt), rc, axis=0)
     vals_rows = vals_rows.reshape(graph.m, graph.dr, B)
     return values, vals_rows - R_rows, vals_rows
 
@@ -189,7 +195,6 @@ def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
     Q0 = jnp.where(mask3, Q0, jnp.asarray(_BIG, dt))
     clip_lo = jnp.asarray(-clip_llr, dt)
     clip_hi = jnp.asarray(clip_llr, dt)
-
     def body(state):
         it, Q, Qold, done, vals, iters = state
         alpha = alpha_seq[it]
