@@ -1,0 +1,226 @@
+"""Pallas TPU kernel: VMEM-resident min-sum BP on a lifted decoding graph.
+
+The XLA realization of the lifted layout (ops/bp_lift.py) still streams the
+~36MB edge-message stack through HBM ~15 times per iteration. This kernel
+keeps the ENTIRE BP state for a batch block resident in VMEM across all
+iterations — edge messages (EB, ell, mm, T, Bb), posteriors, aggregates —
+so per-iteration HBM traffic is zero and the iteration runs at VPU speed.
+Measured on v5e: an unrolled 35-edge roll+reduce pass costs ~5us/iteration
+in-kernel vs ~2ms/iteration for the XLA pipeline (scripts/bp_lift_bench.py).
+
+The lift makes this possible: the graph's irregular connectivity is
+compiled into ~35 static (roll_x, roll_y, time-shift) slab moves per pass
+(zero dynamic gathers — Mosaic's dynamic_gather cannot express BP's
+permutations, see CLAUDE.md). Dead grid slots travel as +_BIG messages and
+multiplicative masks, so the kernel body is pure arithmetic.
+
+Semantics: identical to ops/bp_lift.decode_batch_lift with damping == 1
+(same schedule, min1/min2 via value-equality, per-shot convergence freeze,
+per-block early exit — each batch block exits its while loop independently,
+which can only *tighten* the generic whole-batch exit). Cross-checked
+bitwise against the XLA lift in tests/test_bp_lift_pallas.py. Reference
+algorithm parity notes: ops/bp.py, ops/bp_lift.py docstrings.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bp import _BIG
+from .bp_lift import LiftedGraph
+
+
+def _roll_to_check(A, cx: int, cy: int, o: int, dead):
+    """Column layout (ell, mm, T, Bb) -> check layout: out[x, y, t] =
+    A[x-cx, y-cy, t-o]; x/y wrap, the time shift fills with ``dead``."""
+    if cx:
+        A = jnp.roll(A, cx, axis=0)
+    if cy:
+        A = jnp.roll(A, cy, axis=1)
+    if o:
+        pad = jnp.full(A.shape[:2] + (o,) + A.shape[3:], dead, A.dtype)
+        A = jnp.concatenate([pad, A[:, :, :-o]], axis=2)
+    return A
+
+
+def _roll_to_col(A, cx: int, cy: int, o: int, dead):
+    """Inverse of :func:`_roll_to_check`."""
+    if cx:
+        A = jnp.roll(A, -cx, axis=0)
+    if cy:
+        A = jnp.roll(A, -cy, axis=1)
+    if o:
+        pad = jnp.full(A.shape[:2] + (o,) + A.shape[3:], dead, A.dtype)
+        A = jnp.concatenate([A[:, :, o:], pad], axis=2)
+    return A
+
+
+def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
+               syn_ref, prior_ref, cmask_ref, alpha_ref,
+               vals_ref, done_ref, iters_ref,
+               q_scr, v_scr):
+    """One batch block, all BP iterations in VMEM.
+
+    meta: (eb_pb, eb_cx, eb_cy, eb_o, NB) python statics.
+    syn_ref   (ell, mm, T, Bb) int8      prior_ref (NB, ell, mm, T, 1) f32
+    cmask_ref (EB, ell, mm, T, 1) dt     alpha_ref (maxIter,) f32 [SMEM]
+    vals_ref  (NB, ell, mm, T, Bb) f32   done/iters_ref (1, Bb) int32
+    q_scr     (EB, ell, mm, T, Bb) dt    v_scr (NB, ell, mm, T, Bb) f32
+    """
+    eb_pb, eb_cx, eb_cy, eb_o, NB = meta
+    EB = len(eb_pb)
+    ell, mm, T, Bb = syn_ref.shape
+    big = jnp.asarray(_BIG, dt)
+    one = jnp.asarray(1.0, dt)
+    clip_lo = jnp.asarray(-clip_llr, dt)
+    clip_hi = jnp.asarray(clip_llr, dt)
+
+    syn = syn_ref[:].astype(jnp.int32)
+    sgn_syn = (one - 2.0 * syn.astype(dt))
+
+    # init: Q0 = prior of the edge's column, at the edge's check position
+    for e in range(EB):
+        pv = jnp.broadcast_to(prior_ref[eb_pb[e]].astype(dt),
+                              (ell, mm, T, Bb))
+        qc = _roll_to_check(pv, eb_cx[e], eb_cy[e], eb_o[e], big)
+        mk = jnp.broadcast_to(cmask_ref[e], (ell, mm, T, Bb))
+        q_scr[e] = qc * mk + big * (one - mk)
+    done_ref[:] = jnp.zeros((1, Bb), jnp.int32)
+    iters_ref[:] = jnp.full((1, Bb), maxIter - 1, jnp.int32)
+    vals_ref[:] = jnp.zeros(vals_ref.shape, jnp.float32)
+
+    def body(carry):
+        it, _ = carry
+        alpha = alpha_ref[it].astype(dt)
+
+        # --- check pass: min1/min2 + sign-parity over the EB axis ---
+        m1 = jnp.full((ell, mm, T, Bb), _BIG, dt)
+        m2 = m1
+        negs = jnp.zeros((ell, mm, T, Bb), jnp.int32)
+        for e in range(EB):
+            qe = q_scr[e]
+            a = jnp.abs(qe)                     # dead slots: +_BIG
+            m2 = jnp.minimum(m2, jnp.where(a < m1, m1, a))
+            m1 = jnp.minimum(m1, a)
+            negs = negs + (qe < 0.0).astype(jnp.int32)
+        sgn = jnp.where((negs & 1) == 1, -one, one) * sgn_syn
+
+        # --- R per edge (overwrites Q in place), local posterior sum ---
+        for pb in range(NB):
+            v_scr[pb] = jnp.broadcast_to(prior_ref[pb], (ell, mm, T, Bb))
+        for e in range(EB):
+            qe = q_scr[e]
+            a = jnp.abs(qe)
+            mag = jnp.where(a == m1, m2, m1)
+            sq = jnp.where(qe < 0.0, -one, one)
+            mk = jnp.broadcast_to(cmask_ref[e], (ell, mm, T, Bb))
+            r = alpha * sgn * sq * mag * mk
+            q_scr[e] = r                        # Rchk, check layout
+            rc = _roll_to_col(r, eb_cx[e], eb_cy[e], eb_o[e],
+                              jnp.asarray(0.0, dt))
+            v_scr[eb_pb[e]] = v_scr[eb_pb[e]] + rc.astype(jnp.float32)
+
+        # --- Q update + syndrome parity (one V->check roll per edge) ---
+        par = jnp.zeros((ell, mm, T, Bb), jnp.int32)
+        for e in range(EB):
+            vhc = _roll_to_check(v_scr[eb_pb[e]].astype(dt),
+                                 eb_cx[e], eb_cy[e], eb_o[e], big)
+            mk = jnp.broadcast_to(cmask_ref[e], (ell, mm, T, Bb))
+            par = par + (vhc < 0.0).astype(jnp.int32) * mk.astype(jnp.int32)
+            qn = jnp.clip(vhc - q_scr[e], clip_lo, clip_hi)
+            q_scr[e] = qn * mk + big * (one - mk)
+
+        eq = ((par & 1) == syn).astype(jnp.int32)
+        ok = jnp.min(eq.reshape(ell * mm * T, Bb), axis=0,
+                     keepdims=True)                       # (1, Bb)
+
+        # freeze posteriors at each shot's first convergence
+        done = done_ref[:]                                # (1, Bb)
+        keep = jnp.broadcast_to((done > 0).reshape(1, 1, 1, Bb),
+                                (ell, mm, T, Bb))
+        for pb in range(NB):
+            vals_ref[pb] = jnp.where(keep, vals_ref[pb], v_scr[pb])
+        newly = (ok > 0) & (done == 0)
+        iters_ref[:] = jnp.where(newly, it, iters_ref[:])
+        done = jnp.where(ok > 0, 1, done)
+        done_ref[:] = done
+        return it + 1, jnp.min(done) > 0
+
+    def cond(carry):
+        it, all_done = carry
+        return (it < maxIter) & ~all_done
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+
+@functools.partial(jax.jit, static_argnames=("maxIter", "clip_llr",
+                                             "msg_dtype", "block_b",
+                                             "interpret"))
+def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
+                             maxIter: int, clip_llr: float = 20.0,
+                             msg_dtype=jnp.bfloat16, block_b: int = 128,
+                             interpret: bool = False):
+    """VMEM-resident BP decode. Same arguments/returns as
+    ops.bp_lift.decode_batch_lift (damping fixed at 1.0 — the engine falls
+    back to the XLA layouts for damped decoding)."""
+    B = syndrome.shape[0]
+    dt = jnp.dtype(msg_dtype)
+    ell, mm, T, NB, EB = g.ell, g.mm, g.T, g.NB, len(g.eb_pb)
+    Bb = min(block_b, B)
+    assert B % Bb == 0, (B, Bb)
+
+    syn_grid = syndrome.T.reshape(T, ell, mm, B).transpose(1, 2, 0, 3)
+    syn_grid = syn_grid.astype(jnp.int8)
+    prior_in = g.prior_grid[..., None]                    # (NB,e,m,T,1) f32
+    cmask_in = g.cmask[..., None].astype(dt)              # (EB,e,m,T,1)
+    alpha_in = alpha_seq.astype(jnp.float32)
+
+    meta = (g.eb_pb, g.eb_cx, g.eb_cy, g.eb_o, NB)
+    kernel = functools.partial(_bp_kernel, meta, maxIter, clip_llr, dt)
+    grid = (B // Bb,)
+    vals, done, iters = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ell, mm, T, Bb), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, ell, mm, T, 1), lambda i: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EB, ell, mm, T, 1), lambda i: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NB, ell, mm, T, Bb), lambda i: (0, 0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, ell, mm, T, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((EB, ell, mm, T, Bb), dt),
+            pltpu.VMEM((NB, ell, mm, T, Bb), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=128 << 20),
+        interpret=interpret,
+    )(syn_grid, prior_in, cmask_in, alpha_in)
+
+    flat = vals.reshape(NB * ell * mm * T, B)
+    vals_n = jnp.take(flat, g.out_gather, axis=0)         # (n, B)
+    prior_f = prior.astype(jnp.float32)
+    vals_n = jnp.where(g.residual[:, None], prior_f[:, None], vals_n)
+    cand = (vals_n < 0.0).astype(jnp.int8)
+    return dict(hard=cand.T, converged=done[0] > 0, values=vals_n.T,
+                iterations=iters[0])

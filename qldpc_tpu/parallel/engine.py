@@ -29,6 +29,7 @@ from ..models.builder import build_decoding_matrices, channel_llrs
 from ..models.circuit import SyndromeCircuit
 from ..ops import calibrate
 from ..ops.bp import TannerGraph, alpha_schedule, decode_batch
+from ..ops.bp_lift import LiftedGraph, decode_batch_lift
 from ..ops.osd import choose_K, osd_batch
 from ..ops.sampler import (TrialMaps, augmented_bits, fault_bits,
                            make_trial_maps, sample_gate_randoms)
@@ -77,6 +78,9 @@ class BasisDecoder:
 
     maps: TrialMaps
     graph: TannerGraph
+    lifted: object        # LiftedGraph | None — circulant-structured BP
+                          # layout (ops/bp_lift.py), used when the decoding
+                          # graph is an exact Z_ell x Z_m lift
     H: jax.Array          # (m, n) uint8 decoding matrix
     HT_bf16: jax.Array    # (n, m)
     H_logical: jax.Array  # (n, k) bf16 — logical action of each fault class
@@ -102,13 +106,21 @@ def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
     k = matrices["k"]
     first = matrices[f"first_logical_row{b}"]
     H_logical = (full[first:first + k] != 0).astype(np.float32)  # (k, n)
+    prior_np = channel_llrs(probs, clip_channel)
+    # circulant-lift BP layout (needs the BB polynomial dims; raw CSS codes
+    # without them fall back to the generic padded-CSR layout)
+    ell = getattr(circ.code, "ell", None)
+    mmm = getattr(circ.code, "m", None)
+    lifted = (LiftedGraph.try_from_dense(H, ell, mmm, prior_np)
+              if ell and mmm else None)
     return BasisDecoder(
         maps=make_trial_maps(circ, matrices, b),
         graph=TannerGraph.from_dense(H),
+        lifted=lifted,
         H=jnp.asarray(H),
         HT_bf16=jnp.asarray(H.T.astype(np.float32), dtype=jnp.bfloat16),
         H_logical=jnp.asarray(H_logical.T, dtype=jnp.bfloat16),  # (n, k)
-        prior=jnp.asarray(channel_llrs(probs, clip_channel), dtype=jnp.float32),
+        prior=jnp.asarray(prior_np, dtype=jnp.float32),
         alpha_seq=jnp.asarray(alpha_seq, dtype=jnp.float32),
         basis_cols=jnp.asarray(gf2.column_basis(H)),
         K=choose_K(*H.shape, margin=osd_margin),
@@ -119,8 +131,9 @@ def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
 
 jax.tree_util.register_pytree_node(
     BasisDecoder,
-    lambda d: ((d.maps, d.graph, d.H, d.HT_bf16, d.H_logical, d.prior,
-                d.alpha_seq, d.basis_cols), (d.K, d.num_test, d.rank)),
+    lambda d: ((d.maps, d.graph, d.lifted, d.H, d.HT_bf16, d.H_logical,
+                d.prior, d.alpha_seq, d.basis_cols),
+               (d.K, d.num_test, d.rank)),
     lambda aux, ch: BasisDecoder(*ch, *aux),
 )
 
@@ -135,9 +148,14 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
     chunk wrapped in lax.cond so fully-converged chunks cost nothing — the
     expensive elimination is paid only for ~the unconverged fraction."""
     B = syndrome.shape[0]
-    bp = decode_batch(dec.graph, syndrome, dec.prior, dec.alpha_seq,
-                      maxIter, damping=damping, clip_llr=clip_llr,
-                      msg_dtype=msg_dtype)
+    if dec.lifted is not None:
+        bp = decode_batch_lift(dec.lifted, syndrome, dec.prior,
+                               dec.alpha_seq, maxIter, damping=damping,
+                               clip_llr=clip_llr, msg_dtype=msg_dtype)
+    else:
+        bp = decode_batch(dec.graph, syndrome, dec.prior, dec.alpha_seq,
+                          maxIter, damping=damping, clip_llr=clip_llr,
+                          msg_dtype=msg_dtype)
     conv = bp["converged"]
     order = jnp.argsort(conv)                       # unconverged first
     syn_s = jnp.take(syndrome, order, axis=0)
