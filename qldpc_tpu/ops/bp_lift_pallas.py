@@ -18,8 +18,21 @@ Semantics: identical to ops/bp_lift.decode_batch_lift with damping == 1
 (same schedule, min1/min2 via value-equality, per-shot convergence freeze,
 per-block early exit — each batch block exits its while loop independently,
 which can only *tighten* the generic whole-batch exit). Cross-checked
-bitwise against the XLA lift in tests/test_bp_lift_pallas.py. Reference
-algorithm parity notes: ops/bp.py, ops/bp_lift.py docstrings.
+bitwise against the XLA lift in tests/test_bp_lift_pallas.py (interpret
+mode) and on hardware (float32 bit-exact at every tested batch/grid/depth).
+Reference algorithm parity notes: ops/bp.py, ops/bp_lift.py docstrings.
+
+WARNING — bfloat16 ON HARDWARE IS MISCOMPILED: with msg_dtype=bfloat16 the
+Mosaic-compiled kernel returns wrong posteriors (44-76% of values off, even
+though every constituent op — rolls, shifts, min, selects — verifies
+bit-correct on-chip in isolation, and interpret mode is bit-exact). The
+engine therefore always calls this kernel with float32 messages; since the
+VMEM-resident loop is compute-bound, f32 is also the faster choice
+(34.5ms vs 36.5ms, [[144]] B=512 20 iters). Known Mosaic limits hit while
+building this kernel (all documented in CLAUDE.md): bf16 comparisons crash
+the compiler, selects with scalar bf16 operands crash, bool vectors as
+data (broadcast/astype) hit unsupported i8<->i1 casts, zero-shift
+jnp.roll emits zero-width slices.
 """
 from __future__ import annotations
 
@@ -67,8 +80,8 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
     """One batch block, all BP iterations in VMEM.
 
     meta: (eb_pb, eb_cx, eb_cy, eb_o, NB) python statics.
-    syn_ref   (ell, mm, T, Bb) int8      prior_ref (NB, ell, mm, T, 1) f32
-    cmask_ref (EB, ell, mm, T, 1) dt     alpha_ref (maxIter,) f32 [SMEM]
+    syn_ref   (ell, mm, T, Bb) int32     prior_ref (NB, ell, mm, T, 1) f32
+    cmask_ref (EB, ell, mm, T, 1) f32    alpha_ref (maxIter,) f32 [SMEM]
     vals_ref  (NB, ell, mm, T, Bb) f32   done/iters_ref (1, Bb) int32
     q_scr     (EB, ell, mm, T, Bb) dt    v_scr (NB, ell, mm, T, Bb) f32
     """
@@ -77,10 +90,14 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
     ell, mm, T, Bb = syn_ref.shape
     big = jnp.asarray(_BIG, dt)
     one = jnp.asarray(1.0, dt)
-    clip_lo = jnp.asarray(-clip_llr, dt)
-    clip_hi = jnp.asarray(clip_llr, dt)
+    # selects/min/max with SCALAR bf16 operands crash Mosaic: hoist the
+    # constants as materialized vectors (vector-operand forms compile)
+    big_v = jnp.full((ell, mm, T, Bb), _BIG, dt)
+    zero_v = jnp.zeros((ell, mm, T, Bb), dt)
+    clip_lo_v = jnp.full((ell, mm, T, Bb), -clip_llr, dt)
+    clip_hi_v = jnp.full((ell, mm, T, Bb), clip_llr, dt)
 
-    syn = syn_ref[:].astype(jnp.int32)
+    syn = syn_ref[:]                    # int32 (Mosaic cannot trunci int8)
     sgn_syn = (one - 2.0 * syn.astype(dt))
 
     # init: Q0 = prior of the edge's column, at the edge's check position
@@ -89,7 +106,7 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
                               (ell, mm, T, Bb))
         qc = _roll_to_check(pv, eb_cx[e], eb_cy[e], eb_o[e], big)
         mk = jnp.broadcast_to(cmask_ref[e], (ell, mm, T, Bb))
-        q_scr[e] = qc * mk + big * (one - mk)
+        q_scr[e] = jnp.where(mk > 0.5, qc, big_v)
     done_ref[:] = jnp.zeros((1, Bb), jnp.int32)
     iters_ref[:] = jnp.full((1, Bb), maxIter - 1, jnp.int32)
     vals_ref[:] = jnp.zeros(vals_ref.shape, jnp.float32)
@@ -105,25 +122,38 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
         for e in range(EB):
             qe = q_scr[e]
             a = jnp.abs(qe)                     # dead slots: +_BIG
-            m2 = jnp.minimum(m2, jnp.where(a < m1, m1, a))
+            # all comparisons in f32 (exact bf16 upcast): Mosaic crashes
+            # on bf16 compares; bool results feed ONLY where-predicates
+            # (bool vectors as data hit unsupported i8<->i1 casts)
+            a32 = a.astype(jnp.float32)
+            m2 = jnp.minimum(m2, jnp.where(a32 < m1.astype(jnp.float32),
+                                           m1, a))
             m1 = jnp.minimum(m1, a)
-            negs = negs + (qe < 0.0).astype(jnp.int32)
-        sgn = jnp.where((negs & 1) == 1, -one, one) * sgn_syn
+            negs = negs + jnp.where(qe.astype(jnp.float32) < 0.0, 1, 0)
+        sgn = (1 - 2 * (negs & 1)).astype(dt) * sgn_syn
 
         # --- R per edge (overwrites Q in place), local posterior sum ---
+        # accumulate R first and add the prior at the end: same f32
+        # association as the XLA lift's `prior + sum(Rcol)` (bit-exactness)
         for pb in range(NB):
-            v_scr[pb] = jnp.broadcast_to(prior_ref[pb], (ell, mm, T, Bb))
+            v_scr[pb] = jnp.zeros((ell, mm, T, Bb), jnp.float32)
         for e in range(EB):
             qe = q_scr[e]
-            a = jnp.abs(qe)
-            mag = jnp.where(a == m1, m2, m1)
-            sq = jnp.where(qe < 0.0, -one, one)
+            qe32 = qe.astype(jnp.float32)
+            mag = jnp.where(jnp.abs(qe32) == m1.astype(jnp.float32), m2, m1)
             mk = jnp.broadcast_to(cmask_ref[e], (ell, mm, T, Bb))
-            r = alpha * sgn * sq * mag * mk
+            # the edge-sign multiply is an exact +-1 flip: select the
+            # negated product instead of multiplying by a scalar sign
+            rpos = alpha * sgn * mag
+            r = jnp.where(qe32 < 0.0, -rpos, rpos)
+            r = jnp.where(mk > 0.5, r, zero_v)
             q_scr[e] = r                        # Rchk, check layout
             rc = _roll_to_col(r, eb_cx[e], eb_cy[e], eb_o[e],
                               jnp.asarray(0.0, dt))
             v_scr[eb_pb[e]] = v_scr[eb_pb[e]] + rc.astype(jnp.float32)
+        for pb in range(NB):
+            v_scr[pb] = jnp.broadcast_to(prior_ref[pb],
+                                         (ell, mm, T, Bb)) + v_scr[pb]
 
         # --- Q update + syndrome parity (one V->check roll per edge) ---
         par = jnp.zeros((ell, mm, T, Bb), jnp.int32)
@@ -131,20 +161,24 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
             vhc = _roll_to_check(v_scr[eb_pb[e]].astype(dt),
                                  eb_cx[e], eb_cy[e], eb_o[e], big)
             mk = jnp.broadcast_to(cmask_ref[e], (ell, mm, T, Bb))
-            par = par + (vhc < 0.0).astype(jnp.int32) * mk.astype(jnp.int32)
-            qn = jnp.clip(vhc - q_scr[e], clip_lo, clip_hi)
-            q_scr[e] = qn * mk + big * (one - mk)
+            par = par + jnp.where((mk > 0.5)
+                                  & (vhc.astype(jnp.float32) < 0.0), 1, 0)
+            qn = jnp.minimum(jnp.maximum(vhc - q_scr[e], clip_lo_v),
+                             clip_hi_v)
+            q_scr[e] = jnp.where(mk > 0.5, qn, big_v)
 
-        eq = ((par & 1) == syn).astype(jnp.int32)
+        eq = jnp.where((par & 1) == syn, 1, 0)
         ok = jnp.min(eq.reshape(ell * mm * T, Bb), axis=0,
                      keepdims=True)                       # (1, Bb)
 
         # freeze posteriors at each shot's first convergence
         done = done_ref[:]                                # (1, Bb)
-        keep = jnp.broadcast_to((done > 0).reshape(1, 1, 1, Bb),
+        # broadcast the int32 flags, compare at use: Mosaic cannot
+        # materialize broadcast bool vectors (i8->i1 trunci is unsupported)
+        keep = jnp.broadcast_to(done.reshape(1, 1, 1, Bb),
                                 (ell, mm, T, Bb))
         for pb in range(NB):
-            vals_ref[pb] = jnp.where(keep, vals_ref[pb], v_scr[pb])
+            vals_ref[pb] = jnp.where(keep > 0, vals_ref[pb], v_scr[pb])
         newly = (ok > 0) & (done == 0)
         iters_ref[:] = jnp.where(newly, it, iters_ref[:])
         done = jnp.where(ok > 0, 1, done)
@@ -175,9 +209,11 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
     assert B % Bb == 0, (B, Bb)
 
     syn_grid = syndrome.T.reshape(T, ell, mm, B).transpose(1, 2, 0, 3)
-    syn_grid = syn_grid.astype(jnp.int8)
+    syn_grid = syn_grid.astype(jnp.int32)
     prior_in = g.prior_grid[..., None]                    # (NB,e,m,T,1) f32
-    cmask_in = g.cmask[..., None].astype(dt)              # (EB,e,m,T,1)
+    cmask_in = g.cmask[..., None].astype(jnp.float32)     # (EB,e,m,T,1)
+    # masks stay f32: they are only ever compared (mk > 0.5), and Mosaic
+    # crashes on bf16 comparisons
     alpha_in = alpha_seq.astype(jnp.float32)
 
     meta = (g.eb_pb, g.eb_cx, g.eb_cy, g.eb_o, NB)

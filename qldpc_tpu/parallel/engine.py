@@ -30,6 +30,7 @@ from ..models.circuit import SyndromeCircuit
 from ..ops import calibrate
 from ..ops.bp import TannerGraph, alpha_schedule, decode_batch
 from ..ops.bp_lift import LiftedGraph, decode_batch_lift
+from ..ops.bp_lift_pallas import decode_batch_lift_pallas
 from ..ops.osd import choose_K, osd_batch
 from ..ops.sampler import (TrialMaps, augmented_bits, fault_bits,
                            make_trial_maps, sample_gate_randoms)
@@ -148,7 +149,19 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
     chunk wrapped in lax.cond so fully-converged chunks cost nothing — the
     expensive elimination is paid only for ~the unconverged fraction."""
     B = syndrome.shape[0]
-    if dec.lifted is not None:
+    if dec.lifted is not None and use_pallas and damping == 1.0 \
+            and B % 128 == 0:
+        # VMEM-resident kernel: entire BP state on-chip for all iterations.
+        # Messages stay float32 in-kernel: Mosaic miscompiles bf16 in this
+        # kernel's composition (verified elementwise-correct in isolation,
+        # wrong composed — see bp_lift_pallas.py docstring), and the
+        # VMEM-resident iteration is compute-bound, so bf16 buys nothing
+        # (measured 36.5ms vs f32 34.5ms on [[144]] B=512).
+        bp = decode_batch_lift_pallas(dec.lifted, syndrome, dec.prior,
+                                      dec.alpha_seq, maxIter,
+                                      clip_llr=clip_llr,
+                                      msg_dtype=jnp.float32)
+    elif dec.lifted is not None:
         bp = decode_batch_lift(dec.lifted, syndrome, dec.prior,
                                dec.alpha_seq, maxIter, damping=damping,
                                clip_llr=clip_llr, msg_dtype=msg_dtype)

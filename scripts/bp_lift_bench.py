@@ -17,6 +17,7 @@ import numpy as np
 from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, channel_llrs, get_code
 from qldpc_tpu.ops.bp import TannerGraph, alpha_schedule, decode_batch
 from qldpc_tpu.ops.bp_lift import LiftedGraph, decode_batch_lift
+from qldpc_tpu.ops.bp_lift_pallas import decode_batch_lift_pallas
 from qldpc_tpu.utils.caching import compute_cache_key, load_matrices
 
 
@@ -40,8 +41,8 @@ def main():
     circ = SyndromeCircuit(code, num_cycles=code.distance)
     key_c = compute_cache_key(code.Hx, code.Hz, code.Lx, code.Lz,
                               code.distance, p)
-    M = load_matrices(key_c, "/root/reference/matrix_cache") \
-        or load_matrices(key_c, "matrix_cache")
+    M = (load_matrices("/root/reference/matrix_cache", key_c)
+         or load_matrices("matrix_cache", key_c))
     if M is None:
         M = build_decoding_matrices(circ, code.Lx, code.Lz, p)
     H = (np.asarray(M["HdecZ"]) != 0).astype(np.uint8)
@@ -64,6 +65,9 @@ def main():
                   lambda s, d=dt: decode_batch_lift(lg, s, prior, seq,
                                                     maxIter, msg_dtype=d),
                   syn)
+            timed(f"pallas  decode_batch {tag}",
+                  lambda s, d=dt: decode_batch_lift_pallas(
+                      lg, s, prior, seq, maxIter, msg_dtype=d), syn)
 
 
 if __name__ == "__main__":

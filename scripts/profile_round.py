@@ -22,6 +22,8 @@ from functools import partial
 from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, get_code
 from qldpc_tpu.ops import sampler
 from qldpc_tpu.ops.bp import alpha_schedule, decode_batch
+from qldpc_tpu.ops.bp_lift import decode_batch_lift
+from qldpc_tpu.ops.bp_lift_pallas import decode_batch_lift_pallas
 from qldpc_tpu.ops.osd import osd_batch
 from qldpc_tpu.parallel.engine import _make_basis, make_round_fn
 from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
@@ -82,6 +84,27 @@ def main():
     bp_out, _ = timed("BP Z-basis bf16",
                       jax.jit(partial(bp_small, dt=jnp.bfloat16)), syn_z)
     print(f"{'':34s} (BP Z bf16 convergence {float(bp_out[0]) / B:.2%})")
+
+    if dz.lifted is not None:
+        def bp_lift_small(s, dt):
+            r = decode_batch_lift(dz.lifted, s, dz.prior, dz.alpha_seq,
+                                  maxIter, msg_dtype=dt)
+            return (r["converged"].sum(), r["hard"].sum(),
+                    r["values"].sum(), r["iterations"].max())
+        timed("BP Z lifted bf16",
+              jax.jit(partial(bp_lift_small, dt=jnp.bfloat16)), syn_z)
+        if use_pallas:
+            def bp_pallas_small(s, dt):
+                r = decode_batch_lift_pallas(dz.lifted, s, dz.prior,
+                                             dz.alpha_seq, maxIter,
+                                             msg_dtype=dt)
+                return (r["converged"].sum(), r["hard"].sum(),
+                        r["values"].sum(), r["iterations"].max())
+            bp_out, _ = timed("BP Z pallas f32 (engine path)",
+                              jax.jit(partial(bp_pallas_small,
+                                              dt=jnp.float32)), syn_z)
+            print(f"{'':34s} (pallas convergence "
+                  f"{float(bp_out[0]) / B:.2%})")
 
     def osd_small(s, v, h):
         r = osd_batch(dz.H, dz.HT_bf16, s, v, h, K=dz.K, order=osd_order,
