@@ -197,14 +197,24 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
                                              "interpret"))
 def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
                              maxIter: int, clip_llr: float = 20.0,
-                             msg_dtype=jnp.bfloat16, block_b: int = 128,
+                             msg_dtype=jnp.bfloat16, block_b: int = None,
                              interpret: bool = False):
     """VMEM-resident BP decode. Same arguments/returns as
     ops.bp_lift.decode_batch_lift (damping fixed at 1.0 — the engine falls
-    back to the XLA layouts for damped decoding)."""
+    back to the XLA layouts for damped decoding).
+
+    block_b: shots per VMEM block; None sizes it so the resident state
+    (edge stack + posteriors + frozen output block) stays within a ~44MB
+    budget — [[288]] (T=20, ell=m=12) lands at 64, the smaller codes at
+    128."""
     B = syndrome.shape[0]
     dt = jnp.dtype(msg_dtype)
     ell, mm, T, NB, EB = g.ell, g.mm, g.T, g.NB, len(g.eb_pb)
+    if block_b is None:
+        slab = ell * mm * T * max(dt.itemsize, 4)
+        block_b = 128
+        while block_b > 32 and (EB + 2 * NB) * slab * block_b > (44 << 20):
+            block_b //= 2
     Bb = min(block_b, B)
     assert B % Bb == 0, (B, Bb)
 

@@ -66,6 +66,43 @@ def _pack_columns(bits: jax.Array) -> jax.Array:
         byte.reshape(*bits.shape[:-1], K // 32, 4), jnp.uint32)
 
 
+def _gather_pack_T(HTu8, colsK, Kp: int, chunk: int = 512) -> jax.Array:
+    """Per-shot column gather + bit-pack straight into the eliminator's
+    transposed layout (B, Kp//32, m).
+
+    MEASURED NEGATIVE, kept unwired for the record (scripts/
+    osd_microbench.py times both): despite gathering contiguous rows of H^T
+    and skipping the (B, m, W) -> (B, W, m) transpose, this runs ~2x slower
+    than _gather_pack + transpose on v5e (net ~17ms vs ~9ms at B=512
+    K=1280) — the weighted segment-sum pack is worse for XLA than the
+    packbits-style shift pack, and the column gather is not the bottleneck
+    it looks like."""
+    B, K = colsK.shape
+    m = HTu8.shape[1]
+    out = []
+    for c0 in range(0, Kp, chunk):
+        c1 = min(c0 + chunk, Kp)
+        if c0 >= K:
+            out.append(jnp.zeros((B, (c1 - c0) // 32, m), jnp.uint32))
+            continue
+        idx = colsK[:, c0:min(c1, K)]
+        G = jnp.take(HTu8, idx, axis=0)                     # (B, c, m) u8
+        if c1 > K:
+            G = jnp.pad(G, ((0, 0), (0, c1 - K), (0, 0)))
+        c = G.shape[1]
+        # two-stage pack keeps the bulk reduction in uint8 (4x less
+        # traffic than widening 0/1 bytes to uint32 first)
+        w8 = jnp.asarray(1 << np.arange(8, dtype=np.uint32),
+                         jnp.uint8)                          # 1..128
+        P8 = jnp.sum(G.reshape(B, c // 8, 8, m) * w8[None, None, :, None],
+                     axis=2, dtype=jnp.uint8)                # disjoint bits
+        w32 = jnp.asarray([1, 1 << 8, 1 << 16, 1 << 24], jnp.uint32)
+        P32 = jnp.sum(P8.reshape(B, c // 32, 4, m).astype(jnp.uint32)
+                      * w32[None, None, :, None], axis=2)
+        out.append(P32)                                      # (B, c/32, m)
+    return jnp.concatenate(out, axis=1)
+
+
 def _gather_pack(H, colsK, Kp: int, chunk: int = 256) -> jax.Array:
     """Per-shot column gather + bit-pack, chunked over columns so the
     transient unpacked gather never exceeds (B, m, chunk) bytes."""
@@ -178,24 +215,58 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
         # matrix is recomputed on demand inside the reprocess cond.
         from .osd_pallas import eliminate_blocks, pick_block_shots
         M_pad = -(-m // 128) * 128
-        packed = _gather_pack(H, colsK, Kp)                      # (B, m, W)
-        if basis_words is not None:
-            packed = jnp.concatenate([packed, basis_words], axis=-1)
-        HpT = jnp.pad(jnp.transpose(packed, (0, 2, 1)),
-                      ((0, 0), (0, 0), (0, M_pad - m)))
+        packed = _gather_pack(H, colsK, Kp)                      # (B, m, Wp)
+        HpT_pref = jnp.pad(jnp.transpose(packed, (0, 2, 1)),
+                           ((0, 0), (0, 0), (0, M_pad - m)))     # (B,Wp,M)
         s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
-        S = pick_block_shots(M_pad, HpT.shape[1])
+        W_full = KT // 32 if KT % 32 == 0 else -(-KT // 32)
+        S = pick_block_shots(M_pad, W_full)
         while B % S:
             S //= 2
-        hp_out, s_out, prow_of_col, used_p = eliminate_blocks(
-            HpT, s_pad, KT, m, block_shots=S, rank=rank)
+
+        if basis_words is not None:
+            HbT = jnp.pad(jnp.transpose(Hb_words, (1, 0)),
+                          ((0, 0), (0, M_pad - m)))              # (Wb, M)
+
+        def _full_HpT():
+            return jnp.concatenate(
+                [HpT_pref, jnp.broadcast_to(HbT[None], (B,) + HbT.shape)],
+                axis=1) if basis_words is not None else HpT_pref
+
+        # Eliminate over the reliability prefix ONLY: the rank-completing
+        # basis words are dead weight in the hot XOR (the validity exit
+        # stops long before them on every physical shot), so the ~W_basis
+        # extra words per column step are paid only inside the cond below,
+        # which fires iff some shot's prefix failed to cover its syndrome.
+        # Results are bit-identical either way: covered shots never read
+        # the basis; uncovered shots take the rerun's full-width answer.
+        hp1, s1, prow1, used1 = eliminate_blocks(
+            HpT_pref, s_pad, K, m, block_shots=S, rank=rank)
+        if basis_words is not None:
+            unsat1 = jnp.sum(jnp.where(~used1[:, :m], s1[:, :m], 0), axis=1)
+
+            def with_basis(_):
+                _, s2, prow2, used2 = eliminate_blocks(
+                    _full_HpT(), s_pad, KT, m, block_shots=S, rank=rank)
+                return s2, prow2, used2
+
+            def keep_prefix(_):
+                prow_p = jnp.pad(prow1, ((0, 0), (0, KT - K)),
+                                 constant_values=-1)
+                return s1, prow_p, used1
+
+            s_out, prow_of_col, used_p = jax.lax.cond(
+                jnp.any(unsat1 != 0), with_basis, keep_prefix, operand=None)
+        else:
+            s_out, prow_of_col, used_p = s1, prow1, used1
         Hp = None  # only the (rare) reprocess path materializes it
         s_red = s_out[:, :m]
         used = used_p[:, :m]
 
         def refine_for_reprocess():
-            hp_full, *_ = eliminate_blocks(HpT, s_pad, KT, m, block_shots=S,
-                                           rank=rank, full_jordan=True)
+            hp_full, *_ = eliminate_blocks(_full_HpT(), s_pad, KT, m,
+                                           block_shots=S, rank=rank,
+                                           full_jordan=True)
             return jnp.transpose(hp_full, (0, 2, 1))[:, :m, :]
     else:
         Hp = _gather_pack(H, colsK, Kp)                          # (B, m, W)

@@ -23,7 +23,7 @@ import numpy as np
 from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, get_code
 from qldpc_tpu.ops import sampler
 from qldpc_tpu.ops.bp import alpha_schedule, decode_batch
-from qldpc_tpu.ops.osd import _gather_pack, osd_batch
+from qldpc_tpu.ops.osd import _gather_pack, _gather_pack_T, osd_batch
 from qldpc_tpu.ops.osd_pallas import eliminate_blocks, pick_block_shots
 from qldpc_tpu.parallel.engine import _make_basis, make_key
 from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
@@ -80,8 +80,11 @@ def main():
     timed("argsort |llr| (B, n)",
           jax.jit(lambda v: jnp.argsort(jnp.abs(v), axis=1)), vals)
     colsK = jax.jit(lambda v: jnp.argsort(jnp.abs(v), axis=1)[:, :K])(vals)
-    timed("gather+pack K cols",
+    timed("gather+pack K cols (col-gather)",
           jax.jit(lambda c: _gather_pack(dz.H, c, K)), colsK)
+    timed("gather+pack K cols (row-gather T)",
+          jax.jit(lambda c: _gather_pack_T(
+              dz.H.T.astype(jnp.uint8), c, K)), colsK)
 
     packed = _gather_pack(dz.H, colsK, K)
     R = int(dz.basis_cols.shape[0])
