@@ -124,10 +124,11 @@ def _gather_pack(H, colsK, Kp: int, chunk: int = 256) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("K", "order", "num_test", "use_pallas",
-                                   "rank"))
+                                   "rank", "return_solution"))
 def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
               num_test: int = 0, use_pallas: bool = False, rank: int = None,
-              basis_cols=None):
+              basis_cols=None, logical_pack=None,
+              return_solution: bool = True):
     """Batched OSD post-processing of failed-BP shots.
 
     Args:
@@ -143,9 +144,19 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
       basis_cols: optional (R,) int32 — a fixed column basis of H (e.g.
         gf2.column_basis(H)), appended after the K reliability-ordered
         columns so elimination always reaches full rank.
+      logical_pack: optional (n,) int32 — column j's logical action packed
+        as bits (bit i = L[i, j]). When given, the output gains
+        ``logical_delta_packed`` (B,) int32: the packed logical action of
+        the OSD correction alone (the full decoded logical is
+        hard@L^T ^ delta). Computed straight from the permuted correction
+        (one gather + XOR reduce), skipping the (B, n) correction scatter —
+        callers that only consume logical bits should pass this and
+        return_solution=False (measured ~4.5ms/basis saved at B=512 on v5e).
+      return_solution: skip materializing the (B, n) solution when False.
 
-    Returns dict: solution (B, n) int8, valid (B,) bool (syndrome exactly
-    reproduced), rank_deficient (B,) bool.
+    Returns dict: solution (B, n) int8 (if return_solution), valid (B,) bool
+    (syndrome exactly reproduced), rank_deficient (B,) bool,
+    logical_delta_packed (B,) int32 (if logical_pack is given).
 
     Truncation safety: when the K least-reliable columns fail to reach full
     rank for some shot (measured ~0.2-0.7% of shots at p=0.005 on
@@ -174,7 +185,20 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     residual = (syndrome.astype(jnp.int32) ^ hard_syn)          # (B, m)
 
     # reliability ordering; gather + bit-pack the K least-reliable columns
-    order_idx = jnp.argsort(jnp.abs(llr), axis=1)               # (B, n)
+    if logical_pack is not None:
+        # carry each column's packed logical action through the sort as an
+        # extra lax.sort operand (~free next to the key sort); the
+        # equivalent post-hoc (n,) -> (B, KT) table gather costs ~12ms at
+        # B=512 on v5e (per-shot dynamic lane indexing). Stable sort on the
+        # key with an iota operand IS jnp.argsort — order_idx is unchanged.
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (B, n))
+        lp_b = jnp.broadcast_to(logical_pack.astype(jnp.int32)[None], (B, n))
+        _, order_idx, lp_sorted = jax.lax.sort(
+            (jnp.abs(llr), iota, lp_b), dimension=1, num_keys=1,
+            is_stable=True)
+    else:
+        order_idx = jnp.argsort(jnp.abs(llr), axis=1)           # (B, n)
+        lp_sorted = None
     colsK = order_idx[:, :K]                                     # (B, K)
 
     # rank-completing basis appended after the prefix (see docstring):
@@ -200,10 +224,18 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
              jnp.broadcast_to(basis_cols[None].astype(jnp.int32), (B, R))],
             axis=1)                                              # (B, KT)
         KT = Kp + R
+        if lp_sorted is not None:
+            lp_perm = jnp.concatenate(
+                [lp_sorted[:, :K], jnp.zeros((B, Kp - K), jnp.int32),
+                 jnp.broadcast_to(jnp.take(logical_pack.astype(jnp.int32),
+                                           basis_cols)[None], (B, R))],
+                axis=1)                                          # (B, KT)
     else:
         basis_words = None
         colsE = colsK  # loop bound K never scans the packed padding
         KT = K
+        if lp_sorted is not None:
+            lp_perm = lp_sorted[:, :K]
 
     refine_for_reprocess = None
     if use_pallas:
@@ -240,28 +272,68 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
         # which fires iff some shot's prefix failed to cover its syndrome.
         # Results are bit-identical either way: covered shots never read
         # the basis; uncovered shots take the rerun's full-width answer.
-        hp1, s1, prow1, used1 = eliminate_blocks(
+        hp1, s1, prow1, used1, cf1 = eliminate_blocks(
             HpT_pref, s_pad, K, m, block_shots=S, rank=rank)
         if basis_words is not None:
             unsat1 = jnp.sum(jnp.where(~used1[:, :m], s1[:, :m], 0), axis=1)
+            bad = unsat1 != 0                                     # (B,)
+            nbad = jnp.sum(bad.astype(jnp.int32))
+            W_f8 = -(-W_full // 8) * 8
+            S_r = min(B, pick_block_shots(M_pad, W_f8))
+            prow1p = jnp.pad(prow1, ((0, 0), (0, KT - K)),
+                             constant_values=-1)
 
-            def with_basis(_):
-                _, s2, prow2, used2 = eliminate_blocks(
+            # Basis rerun, narrowed to the shots that actually need it: a
+            # batch of ~400 failed shots at a ~0.2-0.7% per-shot prefix-
+            # deficiency rate trips the rerun cond most rounds, and the old
+            # full-batch rerun re-eliminated all B shots at full width
+            # (measured ~20ms/basis at B=512 on v5e — larger than the prefix
+            # elimination itself). Instead gather the <= S_r uncovered shots
+            # into one kernel block, rerun full width there, and scatter the
+            # results back; covered shots keep their prefix-only outputs
+            # (exactly the old keep_prefix semantics — the full-width run is
+            # consumed-output-identical for them anyway, see the kernel
+            # docstring). Fill slots index B: the gather clamps them to a
+            # real shot, the scatter drops them (out-of-bounds updates).
+            def rerun_small(_):
+                idx = jnp.nonzero(bad, size=S_r, fill_value=B)[0]
+                gi = jnp.minimum(idx, B - 1).astype(jnp.int32)
+                Hp_r = jnp.concatenate(
+                    [jnp.take(HpT_pref, gi, axis=0),
+                     jnp.broadcast_to(HbT[None], (S_r,) + HbT.shape)],
+                    axis=1)
+                _, s2, prow2, used2, cf2 = eliminate_blocks(
+                    Hp_r, jnp.take(s_pad, gi, axis=0), KT, m,
+                    block_shots=S_r, rank=rank)
+                return (s1.at[idx].set(s2), prow1p.at[idx].set(prow2),
+                        used1.at[idx].set(used2), cf1.at[idx].set(cf2))
+
+            def rerun_full(_):  # > S_r deficient shots: effectively never
+                _, s2, prow2, used2, cf2 = eliminate_blocks(
                     _full_HpT(), s_pad, KT, m, block_shots=S, rank=rank)
-                return s2, prow2, used2
+                return s2, prow2, used2, cf2
 
             def keep_prefix(_):
-                prow_p = jnp.pad(prow1, ((0, 0), (0, KT - K)),
-                                 constant_values=-1)
-                return s1, prow_p, used1
+                return s1, prow1p, used1, cf1
 
-            s_out, prow_of_col, used_p = jax.lax.cond(
-                jnp.any(unsat1 != 0), with_basis, keep_prefix, operand=None)
+            s_out, prow_of_col, used_p, cf = jax.lax.cond(
+                nbad == 0, keep_prefix,
+                lambda op: jax.lax.cond(nbad <= S_r, rerun_small, rerun_full,
+                                        op),
+                operand=None)
         else:
-            s_out, prow_of_col, used_p = s1, prow1, used1
+            s_out, prow_of_col, used_p, cf = s1, prow1, used1, cf1
         Hp = None  # only the (rare) reprocess path materializes it
         s_red = s_out[:, :m]
         used = used_p[:, :m]
+        # OSD-0 correction via SCATTER from row space (e0[colofrow[r]] =
+        # s_red[r] for pivot rows): bit-identical to gathering
+        # s_red[prow_of_col] per column slot, but ~1ms instead of ~11ms at
+        # B=512 on v5e — TPU scatters are cheap, per-shot lane gathers are
+        # not. Unused rows (and lane padding) dump into slot KT.
+        tgt = jnp.where(used_p, cf, KT)                          # (B, M_pad)
+        e0_perm = jnp.zeros((B, KT + 1), jnp.int32).at[
+            jnp.arange(B)[:, None], tgt].set(s_out)[:, :KT]
 
         def refine_for_reprocess():
             hp_full, *_ = eliminate_blocks(_full_HpT(), s_pad, KT, m,
@@ -273,12 +345,13 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
         if basis_words is not None:
             Hp = jnp.concatenate([Hp, basis_words], axis=-1)
         Hp, s_red, used, prow_of_col = _eliminate_xla(Hp, residual, KT, m, B)
+        # OSD-0 correction in permuted coords: e[col] = s_red[pivot_row(col)]
+        e0_perm = jnp.where(
+            prow_of_col >= 0,
+            jnp.take_along_axis(s_red, jnp.maximum(prow_of_col, 0), axis=1),
+            0)
 
     is_pivot = prow_of_col >= 0                                  # (B, K)
-    prow_clamped = jnp.maximum(prow_of_col, 0)
-    # OSD-0 correction in permuted coords: e[col] = s_red[pivot_row(col)]
-    e0_perm = jnp.where(
-        is_pivot, jnp.take_along_axis(s_red, prow_clamped, axis=1), 0)
     # validity: un-pivoted rows must carry zero reduced syndrome
     unsat0 = jnp.sum(jnp.where(~used, s_red, 0), axis=1)         # (B,)
     valid0 = unsat0 == 0
@@ -308,16 +381,26 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     else:
         e_perm, valid = e0_perm, valid0
 
-    # scatter correction back to original coordinates and apply to hard.
-    # (Measured: this 2D scatter costs ~4.5ms at B=512 on v5e; the
-    # "cleverer" inverse-permutation gather costs 46ms because
-    # take_along_axis on the lane axis is per-lane dynamic indexing.)
-    # .add, not .set: a basis column duplicated from the prefix shares its
-    # slot's index; the duplicate slot can never pivot so it adds 0.
-    corr = jnp.zeros((B, n), jnp.int32)
-    corr = corr.at[jnp.arange(B)[:, None], colsE].add(e_perm)
-    solution = (hard.astype(jnp.int32) ^ corr).astype(jnp.int8)
-    return dict(solution=solution, valid=valid, rank_deficient=rank_deficient)
+    out = dict(valid=valid, rank_deficient=rank_deficient)
+    if logical_pack is not None:
+        # logical action of the correction, straight in permuted coords:
+        # keep each slot's sort-carried packed logical column where the
+        # correction bit is set, XOR-reduce. A basis column duplicated from
+        # the prefix contributes 0 (its duplicate slot can never pivot).
+        out["logical_delta_packed"] = jax.lax.reduce(
+            jnp.where(e_perm > 0, lp_perm, 0), jnp.int32(0),
+            jax.lax.bitwise_xor, (1,))
+    if return_solution:
+        # scatter correction back to original coordinates and apply to hard.
+        # (Measured: this 2D scatter costs ~4.5ms at B=512 on v5e; the
+        # "cleverer" inverse-permutation gather costs 46ms because
+        # take_along_axis on the lane axis is per-lane dynamic indexing.)
+        # .add, not .set: a basis column duplicated from the prefix shares
+        # its slot's index; the duplicate slot can never pivot so it adds 0.
+        corr = jnp.zeros((B, n), jnp.int32)
+        corr = corr.at[jnp.arange(B)[:, None], colsE].add(e_perm)
+        out["solution"] = (hard.astype(jnp.int32) ^ corr).astype(jnp.int8)
+    return out
 
 
 def _eliminate_xla(Hp, residual, K: int, m: int, B: int):

@@ -151,7 +151,10 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
                      full_jordan: bool = False, exit_on_valid: bool = True):
     """Batched elimination. Hp (B, W, M) uint32 (M = lane-padded checks;
     W padded to a multiple of 8 internally), s (B, M) int32. Returns
-    (Hp_reduced (B, W, M), s_reduced, prow_of_col (B, K), used (B, M)).
+    (Hp_reduced (B, W, M), s_reduced, prow_of_col (B, K), used (B, M),
+    colofrow (B, M) — each row's pivot column slot, -1 if unused; callers
+    use it to scatter row-space results into column slots, which is far
+    cheaper on TPU than gathering along lanes with prow_of_col).
 
     With full_jordan=False (default), already-passed words are skipped in
     the row updates: s_reduced/prow_of_col/used and all pivot columns are
@@ -215,7 +218,7 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
     target = jnp.where(used, colofrow, K)                        # dump slot K
     prow_of_col = jnp.full((B, K + 1), -1, jnp.int32).at[
         jnp.arange(B)[:, None], target].set(lane)[:, :K]
-    return out_hp, out_s, prow_of_col, used
+    return out_hp, out_s, prow_of_col, used, colofrow
 
 
 def pick_block_shots(m_pad: int, W: int, vmem_budget: int = 26 << 20) -> int:

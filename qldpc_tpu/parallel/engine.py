@@ -85,6 +85,7 @@ class BasisDecoder:
     H: jax.Array          # (m, n) uint8 decoding matrix
     HT_bf16: jax.Array    # (n, m)
     H_logical: jax.Array  # (n, k) bf16 — logical action of each fault class
+    logical_pack: jax.Array  # (n,) int32 — the same action bit-packed
     prior: jax.Array      # (n,) f32
     alpha_seq: jax.Array  # (maxIter,) f32
     basis_cols: jax.Array  # (rank,) int32 — fixed rank-completing basis
@@ -121,6 +122,9 @@ def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
         H=jnp.asarray(H),
         HT_bf16=jnp.asarray(H.T.astype(np.float32), dtype=jnp.bfloat16),
         H_logical=jnp.asarray(H_logical.T, dtype=jnp.bfloat16),  # (n, k)
+        logical_pack=jnp.asarray(
+            (H_logical.astype(np.int64)
+             << np.arange(k, dtype=np.int64)[:, None]).sum(0).astype(np.int32)),
         prior=jnp.asarray(prior_np, dtype=jnp.float32),
         alpha_seq=jnp.asarray(alpha_seq, dtype=jnp.float32),
         basis_cols=jnp.asarray(gf2.column_basis(H)),
@@ -133,7 +137,7 @@ def _make_basis(circ, matrices, basis: str, alpha_seq, clip_channel=50.0,
 jax.tree_util.register_pytree_node(
     BasisDecoder,
     lambda d: ((d.maps, d.graph, d.lifted, d.H, d.HT_bf16, d.H_logical,
-                d.prior, d.alpha_seq, d.basis_cols),
+                d.logical_pack, d.prior, d.alpha_seq, d.basis_cols),
                (d.K, d.num_test, d.rank)),
     lambda aux, ch: BasisDecoder(*ch, *aux),
 )
@@ -170,14 +174,26 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
                           maxIter, damping=damping, clip_llr=clip_llr,
                           msg_dtype=msg_dtype)
     conv = bp["converged"]
-    order = jnp.argsort(conv)                       # unconverged first
+    # Sort unconverged-first AND by BP-residual weight within unconverged:
+    # the OSD elimination's validity exit stops a whole shot-block at the
+    # depth its HARDEST shot needs, so grouping shots of similar difficulty
+    # lets easy blocks exit early (total scan ~ B x mean exit depth instead
+    # of B x E[max over a mixed block]). The weight of syndrome ^ H@hard is
+    # a strong proxy for exit depth and costs one bf16 matmul.
+    res_wt = jnp.sum(
+        syndrome.astype(jnp.int32)
+        ^ (jnp.dot(bp["hard"].astype(jnp.bfloat16), dec.HT_bf16,
+                   preferred_element_type=jnp.float32).astype(jnp.int32) & 1),
+        axis=1)
+    m_checks = syndrome.shape[1]
+    order = jnp.argsort(jnp.where(conv, m_checks + 1, res_wt))
     syn_s = jnp.take(syndrome, order, axis=0)
     vals_s = jnp.take(bp["values"], order, axis=0)
     hard_s = jnp.take(bp["hard"], order, axis=0)
     conv_s = jnp.take(conv, order, axis=0)
 
     chunk = B if B <= 64 else max(64, B // 8)
-    sols, rdefs = [], []
+    deltas, rdefs = [], []
     for c0 in range(0, B, chunk):
         c1 = min(c0 + chunk, B)
         args = (syn_s[c0:c1], vals_s[c0:c1], hard_s[c0:c1])
@@ -187,23 +203,30 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
             out = osd_batch(dec.H, dec.HT_bf16, s, v, h, K=dec.K,
                             order=osd_order, num_test=dec.num_test,
                             use_pallas=use_pallas,
-                            rank=dec.rank, basis_cols=dec.basis_cols)
-            return out["solution"], out["rank_deficient"]
+                            rank=dec.rank, basis_cols=dec.basis_cols,
+                            logical_pack=dec.logical_pack,
+                            return_solution=False)
+            return out["logical_delta_packed"], out["rank_deficient"]
 
-        sol, rdef = jax.lax.cond(
+        delta, rdef = jax.lax.cond(
             jnp.any(~conv_s[c0:c1]), run_osd,
-            lambda a: (a[2], jnp.zeros(a[2].shape[0], bool)), args)
-        sols.append(sol)
+            lambda a: (jnp.zeros(a[2].shape[0], jnp.int32),
+                       jnp.zeros(a[2].shape[0], bool)), args)
+        deltas.append(delta)
         rdefs.append(rdef)
-    osd_sol_s = jnp.concatenate(sols, axis=0)
+    delta_s = jnp.concatenate(deltas, axis=0)
     rdef_s = jnp.concatenate(rdefs, axis=0)
-    # undo the sort, then keep BP output for converged shots
-    osd_sol = jnp.zeros_like(osd_sol_s).at[order].set(osd_sol_s)
+    # undo the sort; the OSD correction's logical action travels as one
+    # packed int32 per shot (the (B, n) solution is never materialized —
+    # the decoded logical is linear in GF(2): osd_sol@L = hard@L ^ delta)
+    delta = jnp.zeros_like(delta_s).at[order].set(delta_s)
     rdef = jnp.zeros_like(rdef_s).at[order].set(rdef_s) & ~conv
-    solution = jnp.where(conv[:, None], bp["hard"], osd_sol)
-    dec_log = (jnp.dot(solution.astype(jnp.bfloat16), dec.H_logical,
-                       preferred_element_type=jnp.float32)
-               .astype(jnp.int32) & 1)
+    bp_log = (jnp.dot(bp["hard"].astype(jnp.bfloat16), dec.H_logical,
+                      preferred_element_type=jnp.float32)
+              .astype(jnp.int32) & 1)                            # (B, k)
+    k = bp_log.shape[1]
+    delta_bits = (delta[:, None] >> jnp.arange(k, dtype=jnp.int32)) & 1
+    dec_log = bp_log ^ jnp.where(conv[:, None], 0, delta_bits)
     err = jnp.any(dec_log != true_log.astype(jnp.int32), axis=1)
     return err, bp["converged"], rdef
 

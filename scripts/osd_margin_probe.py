@@ -82,7 +82,7 @@ def main():
             S = pick_block_shots(M_pad, HpT.shape[1])
             while B % S:
                 S //= 2
-            _, s_out, _, used = eliminate_blocks(HpT, s_pad, Kc, m,
+            _, s_out, _, used, _ = eliminate_blocks(HpT, s_pad, Kc, m,
                                                  block_shots=S, rank=dz.rank)
             unsat = jnp.sum(jnp.where(~used[:, :m], s_out[:, :m], 0), axis=1)
             valids[K] = unsat == 0

@@ -197,3 +197,34 @@ def test_truncation_deficiency_basis_completion():
     out2 = osd_batch(*args, K=K, order=0, num_test=0, use_pallas=False)
     rdef = np.asarray(out2["rank_deficient"])
     assert rdef[0] and rdef[2] and not rdef[1] and not rdef[3]
+
+
+def test_logical_delta_packed_matches_solution():
+    """logical_delta_packed must equal (solution ^ hard) @ L^T mod 2, packed
+    — on valid, reprocessed-invalid, and basis-completed shots alike."""
+    rng = np.random.default_rng(17)
+    m, n, k = 24, 64, 5
+    H = np.zeros((m, n), np.uint8)
+    for j in range(n):
+        H[rng.choice(m, 3, replace=False), j] = 1
+    L = (rng.random((k, n)) < 0.3).astype(np.uint8)
+    pack = jnp.asarray((L.astype(np.int64)
+                        << np.arange(k, dtype=np.int64)[:, None]).sum(0),
+                       jnp.int32)
+    B = 8
+    errors = (rng.random((B, n)) < 0.12).astype(np.int8)
+    syn = (errors @ H.T) % 2
+    syn[5] ^= 1  # likely-inconsistent shot exercises the reprocess branch
+    llr = rng.normal(2.0, 1.0, (B, n)).astype(np.float32)
+    hard = (rng.random((B, n)) < 0.05).astype(np.int8)
+    from qldpc_tpu.models.gf2 import column_basis
+    for kwargs in ({"K": n}, {"K": 32, "basis_cols":
+                              jnp.asarray(column_basis(H))}):
+        out = osd_batch(jnp.asarray(H), jnp.asarray(H.T, dtype=jnp.bfloat16),
+                        jnp.asarray(syn), jnp.asarray(llr), jnp.asarray(hard),
+                        order=2, num_test=12, logical_pack=pack, **kwargs)
+        corr = (np.asarray(out["solution"]) ^ hard) % 2
+        want = ((corr @ L.T) % 2).astype(np.int64)
+        want_packed = (want << np.arange(k)).sum(1)
+        assert np.array_equal(np.asarray(out["logical_delta_packed"]),
+                              want_packed), kwargs

@@ -27,10 +27,18 @@ def test_eliminate_blocks_matches_xla():
     HpT = jnp.pad(jnp.transpose(Hp, (0, 2, 1)),
                   ((0, 0), (0, 0), (0, M_pad - m)))
     s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
-    pHp, ps, pprow, pused = eliminate_blocks(HpT, s_pad, K, m,
+    pHp, ps, pprow, pused, pcf = eliminate_blocks(HpT, s_pad, K, m,
                                              block_shots=4, interpret=True,
                                              exit_on_valid=False)
     assert np.array_equal(np.asarray(pprow), np.asarray(xprow))
+    # colofrow must invert prow_of_col exactly
+    cf = np.asarray(pcf)
+    want_cf = np.full_like(cf, -1)
+    for b in range(B):
+        for c in range(K):
+            if xprow[b, c] >= 0:
+                want_cf[b, int(xprow[b, c])] = c
+    assert np.array_equal(cf, want_cf)
     assert np.array_equal(np.asarray(ps)[:, :m], np.asarray(xs))
     assert np.array_equal(
         np.asarray(jnp.transpose(pHp, (0, 2, 1))[:, :m, :]), np.asarray(xHp))
@@ -99,7 +107,7 @@ def test_left_skip_matches_xla_wide():
                   ((0, 0), (0, 0), (0, M_pad - m)))
     s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
     for full in (False, True):
-        pHp, ps, pprow, pused = eliminate_blocks(
+        pHp, ps, pprow, pused, _ = eliminate_blocks(
             HpT, s_pad, K, m, block_shots=4, interpret=True,
             full_jordan=full, exit_on_valid=False)
         assert np.array_equal(np.asarray(pprow), np.asarray(xprow))
@@ -146,7 +154,7 @@ def test_validity_exit_matches_full_scan():
 
     outs = {}
     for exit_valid in (False, True):
-        _, ps, pprow, pused = eliminate_blocks(
+        _, ps, pprow, pused, _ = eliminate_blocks(
             HpT, s_pad, K, m, block_shots=4, interpret=True,
             exit_on_valid=exit_valid)
         ps, pprow, pused = (np.asarray(ps)[:, :m], np.asarray(pprow),
@@ -161,3 +169,57 @@ def test_validity_exit_matches_full_scan():
     for a, b in zip(outs[False], outs[True]):
         assert np.array_equal(a, b)
     assert outs[True][2].any()  # some shot did become valid
+
+
+def test_pallas_basis_rerun_small_and_full():
+    """The pallas path eliminates over the reliability prefix only and
+    reruns uncovered shots through the rank-completing basis in a gathered
+    small block (or the full batch when the block overflows). Both rerun
+    shapes must reproduce the XLA path (which always eliminates prefix +
+    basis for every shot) bit-for-bit on every consumed output."""
+    import qldpc_tpu.ops.osd_pallas as op
+    from qldpc_tpu.models.gf2 import column_basis
+    from qldpc_tpu.ops.osd import osd_batch
+
+    rng = np.random.default_rng(3)
+    m, n, K, B = 8, 64, 32, 4
+    H = np.zeros((m, n), np.uint8)
+    for j in range(n - 1):
+        H[rng.choice(7, 3, replace=False), j] = 1
+    H[7, n - 1] = 1  # row 7 covered ONLY by the last column
+    llr = rng.normal(2.0, 0.3, (B, n)).astype(np.float32)
+    llr[:, n - 1] = 30.0  # ... which sorts beyond the K-prefix
+    errors = np.zeros((B, n), np.int8)
+    errors[0, n - 1] = 1  # shots 0 and 2 need the appended basis
+    errors[1, 3] = 1
+    errors[2, n - 1] = 1
+    errors[2, 5] = 1
+    syn = (errors @ H.T) % 2
+    hard = np.zeros((B, n), np.int8)
+    args = (jnp.asarray(H), jnp.asarray(H.T, dtype=jnp.bfloat16),
+            jnp.asarray(syn), jnp.asarray(llr), jnp.asarray(hard))
+    basis = jnp.asarray(column_basis(H))
+
+    want = osd_batch(*args, K=K, order=0, num_test=0, use_pallas=False,
+                     basis_cols=basis)
+    assert np.asarray(want["valid"]).all()
+
+    orig_elim, orig_pick = op.eliminate_blocks, op.pick_block_shots
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig_elim(*a, **k)
+
+    # pick_block_shots also sizes the rerun block S_r: large -> the two
+    # uncovered shots take the gathered small-block rerun; 1 -> nbad > S_r
+    # forces the full-batch fallback.
+    for pick, path in ((orig_pick, "small"), (lambda *a, **k: 1, "full")):
+        op.eliminate_blocks, op.pick_block_shots = interp, pick
+        try:
+            got = osd_batch(*args, K=K, order=0, num_test=0, use_pallas=True,
+                            basis_cols=basis)
+        finally:
+            op.eliminate_blocks, op.pick_block_shots = orig_elim, orig_pick
+        for key in ("solution", "valid", "rank_deficient"):
+            assert np.array_equal(np.asarray(got[key]),
+                                  np.asarray(want[key])), (path, key)
