@@ -91,8 +91,15 @@ def main():
     seq = alpha_schedule("dynamical", maxIter)
     dec_z = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
     dec_x = _make_basis(circ, M, "X", seq, osd_order=osd_order)
-    fn = jax.jit(make_round_fn(dec_z, dec_x, circ.num_error_locs, p, batch,
-                               maxIter, osd_order))
+    # fuse several rounds per dispatch: the TPU transport's fixed ~30ms
+    # per-dispatch floor is a dispatch-RATE limit that pipelining alone
+    # cannot hide (scripts/round_breakdown.py)
+    rpd = int(os.environ.get("BENCH_RPD", "4"))
+    from qldpc_tpu.parallel.engine import make_scanned_round_fn
+    base_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, p, batch,
+                            maxIter, osd_order)
+    fn = jax.jit(base_fn if rpd == 1
+                 else make_scanned_round_fn(base_fn, rpd))
     from qldpc_tpu.parallel.engine import make_key
     key = make_key(0)
     jax.device_get(fn(key, dec_z, dec_x))  # compile + warm
@@ -115,8 +122,9 @@ def main():
         errs += int(out["any_err"].sum())
         rounds += 1
     dt = time.time() - t0
-    shots_per_sec = rounds * batch / dt
-    assert 0 < errs < rounds * batch, "decode produced degenerate flags"
+    shots_per_sec = rounds * batch * rpd / dt
+    assert 0 < errs < rounds * batch * rpd, \
+        "decode produced degenerate flags"
 
     # single-core baseline estimate (few trials, scalar python)
     H = (np.asarray(M["HdecZ"]) != 0).astype(np.uint8)

@@ -273,6 +273,29 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
     return round_fn
 
 
+def make_scanned_round_fn(round_fn, n_rounds: int):
+    """Fuse ``n_rounds`` decode rounds into ONE dispatch via lax.scan.
+
+    Every dispatch over the TPU transport pays a fixed ~30ms floor that
+    pipelining does NOT hide (measured: a 6ms sample-only round still takes
+    ~34ms/dispatch with 2 in flight — the limit is dispatch rate, not
+    latency; scripts/round_breakdown.py). Scanning k rounds inside the
+    program amortizes that floor k-fold while compiling the round body
+    once. Per-round RNG decorrelation via fold_in of the scan index; the
+    stacked (k, B) flag arrays are flattened so callers see one (k*B,)
+    round."""
+    idx = jnp.arange(n_rounds, dtype=jnp.uint32)
+
+    def scanned(key, *rest):
+        def body(carry, i):
+            return carry, round_fn(jax.random.fold_in(key, i), *rest)
+
+        _, outs = jax.lax.scan(body, (), idx)
+        return {k: v.reshape((-1,) + v.shape[2:]) for k, v in outs.items()}
+
+    return scanned
+
+
 def make_multi_code_round_fn(specs):
     """One jitted launch decoding several codes' batches back to back
     (BASELINE.json config: "[[90,8,10]] and [[108,8,10]], batched
@@ -303,6 +326,7 @@ def run_simulation(
     target_logical_errors=None, max_trials=None, scopt=False,
     estimation_plot_dir=None,
     batch_size: Optional[int] = None, mesh=None, damping: float = 1.0,
+    rounds_per_dispatch: Optional[int] = None,
     verbose: bool = True,
     **bb_params,
 ) -> Dict[str, Any]:
@@ -423,8 +447,19 @@ def run_simulation(
         batch_size = min(512, max(128, -(-max_trials // n_dev)))
     round_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, error_rate,
                              batch_size, maxIter, osd_order, damping)
+    if rounds_per_dispatch is None:
+        # fused rounds amortize the fixed per-dispatch transport floor on
+        # real TPU; on CPU test meshes dispatch is cheap and stopping
+        # granularity matters more
+        rounds_per_dispatch = 4 if jax.default_backend() != "cpu" else 1
+        # don't overshoot small trial budgets with a huge fused round
+        while (rounds_per_dispatch > 1
+               and batch_size * n_dev * rounds_per_dispatch > max_trials * 2):
+            rounds_per_dispatch //= 2
+    if rounds_per_dispatch > 1:
+        round_fn = make_scanned_round_fn(round_fn, rounds_per_dispatch)
     sharded = shard_rounds(jax.jit(round_fn), mesh)
-    round_shots = batch_size * n_dev
+    round_shots = batch_size * n_dev * rounds_per_dispatch
 
     key = make_key(base_seed)
     z_errs = x_errs = tot_errs = trials_run = 0

@@ -55,3 +55,22 @@ def test_sharded_matches_gathered_single_device(round_setup):
 def test_mesh_axis_name():
     mesh = shot_mesh()
     assert mesh.axis_names == (SHOT_AXIS,)
+
+
+def test_scanned_rounds_match_individual(round_setup):
+    """make_scanned_round_fn(k) == k separate rounds with fold_in keys
+    (the fused dispatch changes packaging, not results), and it composes
+    with shard_rounds."""
+    from qldpc_tpu.parallel.engine import make_scanned_round_fn
+    key = make_key(3)
+    scanned = jax.jit(make_scanned_round_fn(round_setup, 3))
+    out = jax.device_get(scanned(key))
+    assert out["any_err"].shape == (3 * 16,)
+    for i in range(3):
+        one = jax.device_get(round_setup(jax.random.fold_in(key, i)))
+        for k in ("z_err", "x_err", "any_err", "z_conv", "x_conv"):
+            assert np.array_equal(out[k][i * 16:(i + 1) * 16], one[k]), k
+    sharded = shard_rounds(jax.jit(make_scanned_round_fn(round_setup, 2)),
+                           shot_mesh())
+    sout = jax.device_get(sharded(key))
+    assert sout["any_err"].shape == (8 * 2 * 16,)
