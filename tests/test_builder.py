@@ -63,6 +63,8 @@ def test_channel_llrs_handles_extreme_probs():
     ("[[72, 12, 6]]", 6, 0.006),
     ("[[90, 8, 10]]", 10, 0.004),
     ("[[108, 8, 10]]", 10, 0.004),
+    ("[[144, 12, 12]]", 12, 0.004),
+    pytest.param("[[288, 12, 18]]", 18, 0.0035, marks=pytest.mark.slow),
 ])
 def test_golden_decoding_matrices(name, cycles, p, ref_code_npz,
                                   ref_matrix_cache):
