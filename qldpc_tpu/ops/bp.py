@@ -236,6 +236,72 @@ def decode_batch(graph: TannerGraph, syndrome, prior, alpha_seq,
     return dict(hard=cand.T, converged=done, values=vals.T, iterations=iters)
 
 
+def _tanh_check_update(Q_rows, sgn_syn, clip_val):
+    """Tanh/arctanh true-BP check update (reference bp_core,
+    src/decoding/kernels.py:171-193). Padded lanes hold +_BIG, whose tanh is
+    exactly 1.0 — the multiplicative identity of the row product. The
+    excluded-self product uses the reference's row_prod / t_j division, and
+    near-zero tanh factors are floored at +-1e-15 with the reference's
+    sign convention (t >= 0 -> +1e-15)."""
+    t = jnp.tanh(Q_rows * 0.5)
+    floor = jnp.where(t >= 0.0, 1e-15, -1e-15).astype(t.dtype)
+    t = jnp.where(jnp.abs(t) < 1e-15, floor, t)
+    row_prod = jnp.prod(t, axis=1)                           # (m, B)
+    prod_others = row_prod[:, None, :] / t
+    prod_c = jnp.clip(prod_others * sgn_syn[:, None, :].astype(t.dtype),
+                      -clip_val, clip_val)
+    return 2.0 * jnp.arctanh(prod_c)
+
+
+@partial(jax.jit, static_argnames=("maxIter",))
+def decode_batch_tanh(graph: TannerGraph, syndrome, prior, maxIter: int,
+                      clip_val: float = 0.9999999):
+    """Batched tanh-based true belief propagation.
+
+    Counterpart of the reference's performBeliefPropagationFast
+    (src/decoding/dense.py:75-96): no normalization alpha, no damping, no
+    message clipping — messages are bounded by 2*arctanh(clip_val) (~16.8)
+    instead. Same flooding schedule, per-iteration hard decision + sparse
+    syndrome check, and early exit as decode_batch; returns the same dict.
+    Messages are float32 (the tanh/arctanh chain needs the mantissa; this
+    variant is a capability path, not the perf path).
+    """
+    B = syndrome.shape[0]
+    syn = syndrome.T.astype(jnp.int32)                       # (m, B)
+    sgn_syn = (1.0 - 2.0 * syn).astype(jnp.float32)
+    prior = prior.astype(jnp.float32)
+    mask3 = graph.row_mask[:, :, None]
+    prior_pad = jnp.concatenate([prior, jnp.zeros((1,), jnp.float32)])
+    Q0 = jnp.take(prior_pad, graph.row_cols.reshape(-1), axis=0)
+    Q0 = jnp.broadcast_to(Q0.reshape(graph.m, graph.dr, 1),
+                          (graph.m, graph.dr, B))
+    Q0 = jnp.where(mask3, Q0, _BIG)
+
+    def body(state):
+        it, Q, done, vals, iters = state
+        R = _tanh_check_update(Q, sgn_syn, clip_val)
+        values, Q_new, vals_rows = _variable_update(R, prior, graph, mask3)
+        Q_new = jnp.where(mask3, Q_new, _BIG)
+        hard_rows = ((vals_rows < 0.0) & graph.row_mask[:, :, None])
+        parity = jnp.sum(hard_rows.astype(jnp.int32), axis=1) & 1
+        ok = jnp.all(parity == syn, axis=0)
+        vals = jnp.where(done[None, :], vals, values)
+        iters = jnp.where(ok & ~done, it, iters)
+        done = done | ok
+        return it + 1, Q_new, done, vals, iters
+
+    def cond(state):
+        it, _, done, *_ = state
+        return (it < maxIter) & ~jnp.all(done)
+
+    init = (jnp.int32(0), Q0, jnp.zeros(B, bool),
+            jnp.zeros((graph.n, B), jnp.float32),
+            jnp.full(B, maxIter - 1, jnp.int32))
+    _, _, done, vals, iters = jax.lax.while_loop(cond, body, init)
+    cand = (vals < 0.0).astype(jnp.int8)
+    return dict(hard=cand.T, converged=done, values=vals.T, iterations=iters)
+
+
 @partial(jax.jit, static_argnames=("damping",))
 def harvest_messages(graph: TannerGraph, syndrome, prior, alpha_seq,
                      advance_iters, damping: float = 1.0,

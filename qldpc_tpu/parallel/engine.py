@@ -28,7 +28,8 @@ from ..models import gf2
 from ..models.builder import build_decoding_matrices, channel_llrs
 from ..models.circuit import SyndromeCircuit
 from ..ops import calibrate
-from ..ops.bp import TannerGraph, alpha_schedule, decode_batch
+from ..ops.bp import (TannerGraph, alpha_schedule, decode_batch,
+                      decode_batch_tanh)
 from ..ops.bp_lift import LiftedGraph, decode_batch_lift
 from ..ops.bp_lift_pallas import decode_batch_lift_pallas
 from ..ops.osd import choose_K, osd_batch
@@ -145,15 +146,23 @@ jax.tree_util.register_pytree_node(
 
 def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
                       osd_order: int, damping: float, clip_llr: float,
-                      use_pallas: bool = False, msg_dtype=jnp.float32):
+                      use_pallas: bool = False, msg_dtype=jnp.float32,
+                      bp_variant: str = "minsum"):
     """BP, OSD fallback for unconverged shots, logical comparison.
 
     OSD applies only to BP-failed shots (reference engine.py:96-97). Under
     SPMD the batch is sorted unconverged-first and OSD runs chunk-wise, each
     chunk wrapped in lax.cond so fully-converged chunks cost nothing — the
-    expensive elimination is paid only for ~the unconverged fraction."""
+    expensive elimination is paid only for ~the unconverged fraction.
+
+    bp_variant="tanh" selects the true-BP tanh decoder (reference
+    performBeliefPropagationFast, dense.py:75-96) instead of normalized
+    min-sum; alpha/damping/clip_llr are ignored in that variant, matching
+    the reference function's signature."""
     B = syndrome.shape[0]
-    if dec.lifted is not None and use_pallas and damping == 1.0 \
+    if bp_variant == "tanh":
+        bp = decode_batch_tanh(dec.graph, syndrome, dec.prior, maxIter)
+    elif dec.lifted is not None and use_pallas and damping == 1.0 \
             and B % 128 == 0:
         # VMEM-resident kernel: entire BP state on-chip for all iterations.
         # Messages stay float32 in-kernel: Mosaic miscompiles bf16 in this
@@ -235,7 +244,7 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
                   error_rate: float, batch: int, maxIter: int,
                   osd_order: int, damping: float = 1.0,
                   clip_llr: float = 20.0, use_pallas: bool = None,
-                  msg_dtype=None):
+                  msg_dtype=None, bp_variant: str = "minsum"):
     """Build the per-device decode-round function:
     (key, dec_z, dec_x) -> per-shot flags.
 
@@ -263,7 +272,8 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
             true_log = aug[:, dec.maps.num_syn:]
             e, conv, rdef = _decode_one_basis(syndrome, true_log, dec,
                                               maxIter, osd_order, damping,
-                                              clip_llr, use_pallas, msg_dtype)
+                                              clip_llr, use_pallas, msg_dtype,
+                                              bp_variant)
             out[f"{name}_err"] = e
             out[f"{name}_conv"] = conv
             out[f"{name}_rankdef"] = rdef
@@ -327,7 +337,7 @@ def run_simulation(
     estimation_plot_dir=None,
     batch_size: Optional[int] = None, mesh=None, damping: float = 1.0,
     rounds_per_dispatch: Optional[int] = None,
-    verbose: bool = True,
+    verbose: bool = True, bp_variant: str = "minsum",
     **bb_params,
 ) -> Dict[str, Any]:
     """Reference-compatible Monte-Carlo LER estimation (engine.py:193-203
@@ -446,7 +456,8 @@ def run_simulation(
     if batch_size is None:
         batch_size = min(512, max(128, -(-max_trials // n_dev)))
     round_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, error_rate,
-                             batch_size, maxIter, osd_order, damping)
+                             batch_size, maxIter, osd_order, damping,
+                             bp_variant=bp_variant)
     if rounds_per_dispatch is None:
         # fused rounds amortize the fixed per-dispatch transport floor on
         # real TPU; on CPU test meshes dispatch is cheap and stopping

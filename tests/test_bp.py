@@ -11,7 +11,8 @@ import pytest
 import jax.numpy as jnp
 
 from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, channel_llrs, get_code
-from qldpc_tpu.ops.bp import TannerGraph, alpha_schedule, decode_batch
+from qldpc_tpu.ops.bp import (TannerGraph, alpha_schedule, decode_batch,
+                              decode_batch_tanh)
 
 
 def minsum_oracle(H, syndrome, prior, alpha_seq, maxIter, damping=1.0,
@@ -56,6 +57,45 @@ def minsum_oracle(H, syndrome, prior, alpha_seq, maxIter, damping=1.0,
                 q = np.clip(damping * q + (1 - damping) * Qold[(i, j)],
                             -clip, clip)
                 Q[(i, j)] = Qold[(i, j)] = q
+        hard = (values < 0).astype(np.int8)
+        if np.array_equal((H @ hard) % 2, syndrome):
+            return hard, True, values, it
+    return hard, False, values, maxIter - 1
+
+
+def tanh_bp_oracle(H, syndrome, prior, maxIter, clip_val=0.9999999):
+    """Scalar tanh-based true BP, float64 — the specification the reference's
+    performBeliefPropagationFast + bp_core implements (dense.py:75-96,
+    kernels.py:171-193): excluded-self product via row_prod / t_j division,
+    near-zero tanh factors floored at +-1e-15 (sign: t >= 0 -> +), product
+    clipped to +-clip_val before 2*arctanh, no damping/clipping of Q."""
+    H = np.asarray(H) != 0
+    m, n = H.shape
+    rows = [np.nonzero(H[i])[0] for i in range(m)]
+    sgn_syn = 1.0 - 2.0 * syndrome
+    Q = {(i, j): float(prior[j]) for i in range(m) for j in rows[i]}
+    values = prior.astype(float).copy()
+    hard = np.zeros(n, dtype=np.int8)
+    for it in range(maxIter):
+        R = {}
+        Rsum = np.zeros(n)
+        for i in range(m):
+            prod = 1.0
+            t = {}
+            for j in rows[i]:
+                tv = np.tanh(Q[(i, j)] * 0.5)
+                if abs(tv) < 1e-15:
+                    tv = 1e-15 if tv >= 0 else -1e-15
+                t[j] = tv
+                prod *= tv
+            for j in rows[i]:
+                pc = np.clip(prod / t[j] * sgn_syn[i], -clip_val, clip_val)
+                R[(i, j)] = 2.0 * np.arctanh(pc)
+                Rsum[j] += R[(i, j)]
+        values = Rsum + prior
+        for i in range(m):
+            for j in rows[i]:
+                Q[(i, j)] = values[j] - R[(i, j)]
         hard = (values < 0).astype(np.int8)
         if np.array_equal((H @ hard) % 2, syndrome):
             return hard, True, values, it
@@ -115,6 +155,53 @@ def test_damping_matches_oracle():
         assert np.asarray(out["converged"])[b] == oc
         assert np.allclose(np.asarray(out["values"])[b], ov, atol=2e-4)
         assert np.array_equal(np.asarray(out["hard"])[b], oh)
+
+
+def test_tanh_bp_matches_oracle():
+    """decode_batch_tanh vs the scalar float64 tanh-BP oracle: identical
+    convergence/iteration/hard decisions, posteriors to f32 tolerance."""
+    rng = np.random.default_rng(17)
+    m, n, maxIter = 30, 60, 15
+    H = random_ldpc(rng, m, n)
+    prior = np.clip(rng.normal(3.0, 1.5, n), -20, 20)
+    graph = TannerGraph.from_dense(H)
+    B = 24
+    errors = (rng.random((B, n)) < 0.06).astype(np.int8)
+    syn = (errors @ H.T) % 2
+    out = decode_batch_tanh(graph, jnp.asarray(syn),
+                            jnp.asarray(prior, dtype=jnp.float32), maxIter)
+    for b in range(B):
+        oh, oc, ov, oi = tanh_bp_oracle(H, syn[b], prior, maxIter)
+        assert np.asarray(out["converged"])[b] == oc, b
+        assert np.asarray(out["iterations"])[b] == oi, b
+        # tanh/arctanh chains lose more bits than min-sum; posterior scale
+        # is O(10), so 3e-3 is ~f32 resolution through the chain
+        assert np.allclose(np.asarray(out["values"])[b], ov,
+                           atol=3e-3, rtol=1e-4), b
+        assert np.array_equal(np.asarray(out["hard"])[b], oh), b
+
+
+def test_tanh_bp_on_real_decoding_matrix():
+    """On the [[72]] decoding graph the tanh variant must converge to
+    syndrome-exact candidates for most shots (capability parity with the
+    reference's unused performBeliefPropagationFast path)."""
+    code = get_code("[[72, 12, 6]]")
+    circ = SyndromeCircuit(code, num_cycles=3)
+    M = build_decoding_matrices(circ, code.Lx, code.Lz, 0.003)
+    H = (M["HdecZ"] != 0).astype(np.uint8)
+    prior = channel_llrs(M["channel_probsZ"])
+    graph = TannerGraph.from_dense(H)
+    rng = np.random.default_rng(2)
+    B = 32
+    errors = (rng.random((B, H.shape[1])) < M["channel_probsZ"]).astype(np.int8)
+    syn = (errors @ H.T) % 2
+    out = decode_batch_tanh(graph, jnp.asarray(syn),
+                            jnp.asarray(prior, dtype=jnp.float32), 30)
+    hard = np.asarray(out["hard"])
+    conv = np.asarray(out["converged"])
+    assert conv.mean() > 0.6
+    for b in np.nonzero(conv)[0]:
+        assert np.array_equal((hard[b] @ H.T) % 2, syn[b])
 
 
 def test_real_decoding_matrix_convergence():

@@ -59,6 +59,18 @@ def test_reproducible_given_seed(code72):
     assert r1["num_trials"] == r2["num_trials"]
 
 
+def test_tanh_bp_variant_selectable(code72):
+    """bp_variant='tanh' routes decoding through the true-BP tanh decoder
+    (reference performBeliefPropagationFast) end to end."""
+    c = code72
+    res = run_simulation(c.Hx, c.Hz, c.Lx, c.Lz, 0.006, num_cycles=3,
+                         maxIter=15, osd_order=0, alpha_mode="dynamical",
+                         max_trials=64, base_seed=5, batch_size=8,
+                         verbose=False, bp_variant="tanh", **bb_kwargs(c))
+    assert res["num_trials"] == 64
+    assert 0.0 <= res["logical_error_rate"] <= 1.0
+
+
 def test_reference_format_precomputed_matrices(code72):
     """A reference-style matrix dict (no sampler metadata) is accepted and
     back-filled; a mismatched one is rejected."""
