@@ -19,6 +19,32 @@ import jax.numpy as jnp
 
 from .bp import TannerGraph, alpha_schedule, decode_batch, harvest_messages
 
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def _dynamical_alpha(k: int) -> float:
+    """The dynamical schedule value for iteration k (kernels.py:273)."""
+    return 1.0 - 2.0 ** (-(k + 1))
+
+
+def _gate_alpha(a: float, r2: float, k: int, r2_gate: float,
+                alpha_range: Tuple[float, float]) -> Tuple[float, bool]:
+    """Accept a fitted per-iteration alpha only if the fit is trustworthy.
+
+    The reference ships the raw fit unconditionally (alpha.py:160-276),
+    which demonstrably collapses decoding at [[288]] scale when one noisy
+    early fit corrupts every subsequent autoregressive advance
+    (VALIDATION.md: LER 1.000). Guardrail: require R^2 >= r2_gate AND the
+    value inside a physically sensible range; otherwise substitute the
+    dynamical schedule value for this iteration (and feed THAT into the
+    subsequent advances). Returns (alpha, used_fallback)."""
+    lo, hi = alpha_range
+    if np.isfinite(a) and np.isfinite(r2) and r2 >= r2_gate and lo <= a <= hi:
+        return a, False
+    return _dynamical_alpha(k), True
+
 
 def _fit_log_ratio(x0, x1, bins: int, flip: bool = False,
                    plot_path: Optional[str] = None, title: str = ""):
@@ -133,11 +159,18 @@ def estimate_alpha_alvarado(H, error_rate, trials=5000, bins=50, llrs=None,
 
 def estimate_alpha_alvarado_autoregressive(
         H, error_rate, maxIter, trials=5000, bins=50, llrs=None, key=None,
-        plot_dir: Optional[str] = None, plot_prefix: Optional[str] = None
+        plot_dir: Optional[str] = None, plot_prefix: Optional[str] = None,
+        r2_gate: float = 0.85, alpha_range: Tuple[float, float] = (0.05, 1.5)
         ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-iteration alpha sequence: iteration k's alpha is fit from
     unscaled messages after advancing k iterations with alpha_0..k-1
-    (reference alpha.py:160-276)."""
+    (reference alpha.py:160-276).
+
+    Unlike the reference, each fitted value is R^2- and range-gated
+    (see _gate_alpha): untrustworthy fits fall back to the dynamical
+    schedule value for that iteration instead of poisoning the rest of the
+    sequence. Set r2_gate=-inf to reproduce the reference's ungated
+    behavior exactly."""
     if not (0 < error_rate < 0.5):
         raise ValueError("error_rate must be in (0, 0.5)")
     if maxIter <= 0:
@@ -148,20 +181,35 @@ def estimate_alpha_alvarado_autoregressive(
     prior = jnp.asarray(llrs, dtype=jnp.float32)
     key = key if key is not None else jax.random.key(0)
     alphas, r2s = [], []
+    n_fallback = 0
     for k in range(maxIter):
         plot_path = None
         if plot_dir is not None:
             prefix = plot_prefix or f"autoregressive_p{error_rate:.6g}"
             plot_path = f"{plot_dir}/{prefix}_iter{k + 1}_alpha_fit.png"
-        t0, t1 = _harvest_buckets(
-            graph, H_bf16, prior, error_rate, trials,
-            jax.random.fold_in(key, 7919 * k),
-            np.asarray(alphas, dtype=np.float32), k, seq_len=maxIter)
-        a, r2 = _fit_log_ratio(
-            t0, t1, bins, plot_path=plot_path,
-            title=f"Autoregressive alpha fit (p={error_rate:.6g}, iter={k+1})")
+        try:
+            t0, t1 = _harvest_buckets(
+                graph, H_bf16, prior, error_rate, trials,
+                jax.random.fold_in(key, 7919 * k),
+                np.asarray(alphas, dtype=np.float32), k, seq_len=maxIter)
+            a, r2 = _fit_log_ratio(
+                t0, t1, bins, plot_path=plot_path,
+                title=f"Autoregressive alpha fit "
+                      f"(p={error_rate:.6g}, iter={k+1})")
+        except (ValueError, RuntimeError) as e:
+            logger.warning("autoregressive alpha fit failed at iter %d "
+                           "(%s); using dynamical value", k + 1, e)
+            a, r2 = np.nan, np.nan
+        a, fell_back = _gate_alpha(a, r2, k, r2_gate, alpha_range)
+        n_fallback += fell_back
         alphas.append(a)
         r2s.append(r2)
+    if n_fallback:
+        logger.warning(
+            "autoregressive alpha: %d/%d iterations failed the fit gate "
+            "(R^2 < %.2f or alpha outside %s) and used the dynamical "
+            "schedule value instead", n_fallback, maxIter, r2_gate,
+            alpha_range)
     return (np.asarray(alphas, dtype=np.float64),
             np.asarray(r2s, dtype=np.float64))
 

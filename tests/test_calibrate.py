@@ -34,6 +34,28 @@ def test_autoregressive_sequence(setup72):
     assert np.all(seq > 0) and np.all(seq < 2.0)
 
 
+def test_alpha_gate_fallback_rules():
+    """The fit gate substitutes the dynamical value for untrustworthy fits:
+    low R^2, out-of-range alpha, or NaN (failed fit)."""
+    from qldpc_tpu.ops.calibrate import _dynamical_alpha, _gate_alpha
+    good, fb = _gate_alpha(0.8, 0.95, 3, 0.85, (0.05, 1.5))
+    assert good == 0.8 and not fb
+    for bad in [(0.8, 0.5), (3.0, 0.99), (-0.2, 0.99), (np.nan, np.nan),
+                (0.8, np.nan)]:
+        a, fb = _gate_alpha(bad[0], bad[1], 3, 0.85, (0.05, 1.5))
+        assert fb and a == _dynamical_alpha(3) == 1.0 - 2.0 ** -4
+
+
+def test_autoregressive_gate_engages_on_noisy_fit(setup72):
+    """With starvation-level trials the sequence must stay inside the gate
+    range by construction (fallbacks engage rather than shipping junk)."""
+    import jax
+    H, llrs = setup72
+    seq, r2s = calibrate.estimate_alpha_alvarado_autoregressive(
+        H, 0.01, maxIter=4, trials=8, llrs=llrs, key=jax.random.key(3))
+    assert np.all(seq >= 0.05) and np.all(seq <= 1.5)
+
+
 def test_scopt_beta_negative(setup72):
     """Posterior LLRs are large-positive for non-errors and negative for
     errors, so log(f1/f0) decreases in x: beta < 0 as in the reference's
