@@ -1,7 +1,7 @@
 """Lifted (circulant-structured) layout for the min-sum BP decoder.
 
 The circuit-level decoding graphs of BB codes are not just cycle-periodic
-(ops/bp_grid.py) — they are full *lifts* of a tiny base graph by the code's
+(scripts/bp_grid_experiment.py) — they are full *lifts* of a tiny base graph by the code's
 Z_ell x Z_m translation group crossed with time: every fault-equivalence
 class (column of HdecZ/HdecX) is a (translation, time-shift) copy of one of
 ~10 base patterns, and the checks of one cycle form a single translation
@@ -47,7 +47,7 @@ import numpy as np
 
 from .bp import _BIG
 
-_DEAD_PRIOR = 50.0  # prior of dead grid slots: hard bit 0, matches bp_grid
+_DEAD_PRIOR = 50.0  # prior of dead grid slots: hard bit 0, matches the grid experiment
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,7 +89,7 @@ class LiftedGraph:
         T = m // n2
         if T < 2:
             return None
-        # --- cycle-pattern detection (as ops/bp_grid.py) ---
+        # --- cycle-pattern detection (as scripts/bp_grid_experiment.py) ---
         patterns: dict = {}
         pat_edges: list = []
         col_anchor = np.full(n, -1, np.int64)

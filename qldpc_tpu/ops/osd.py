@@ -66,43 +66,10 @@ def _pack_columns(bits: jax.Array) -> jax.Array:
         byte.reshape(*bits.shape[:-1], K // 32, 4), jnp.uint32)
 
 
-def _gather_pack_T(HTu8, colsK, Kp: int, chunk: int = 512) -> jax.Array:
-    """Per-shot column gather + bit-pack straight into the eliminator's
-    transposed layout (B, Kp//32, m).
-
-    MEASURED NEGATIVE, kept unwired for the record (scripts/
-    osd_microbench.py times both): despite gathering contiguous rows of H^T
-    and skipping the (B, m, W) -> (B, W, m) transpose, this runs ~2x slower
-    than _gather_pack + transpose on v5e (net ~17ms vs ~9ms at B=512
-    K=1280) — the weighted segment-sum pack is worse for XLA than the
-    packbits-style shift pack, and the column gather is not the bottleneck
-    it looks like."""
-    B, K = colsK.shape
-    m = HTu8.shape[1]
-    out = []
-    for c0 in range(0, Kp, chunk):
-        c1 = min(c0 + chunk, Kp)
-        if c0 >= K:
-            out.append(jnp.zeros((B, (c1 - c0) // 32, m), jnp.uint32))
-            continue
-        idx = colsK[:, c0:min(c1, K)]
-        G = jnp.take(HTu8, idx, axis=0)                     # (B, c, m) u8
-        if c1 > K:
-            G = jnp.pad(G, ((0, 0), (0, c1 - K), (0, 0)))
-        c = G.shape[1]
-        # two-stage pack keeps the bulk reduction in uint8 (4x less
-        # traffic than widening 0/1 bytes to uint32 first)
-        w8 = jnp.asarray(1 << np.arange(8, dtype=np.uint32),
-                         jnp.uint8)                          # 1..128
-        P8 = jnp.sum(G.reshape(B, c // 8, 8, m) * w8[None, None, :, None],
-                     axis=2, dtype=jnp.uint8)                # disjoint bits
-        w32 = jnp.asarray([1, 1 << 8, 1 << 16, 1 << 24], jnp.uint32)
-        P32 = jnp.sum(P8.reshape(B, c // 32, 4, m).astype(jnp.uint32)
-                      * w32[None, None, :, None], axis=2)
-        out.append(P32)                                      # (B, c/32, m)
-    return jnp.concatenate(out, axis=1)
-
-
+# A transposed-layout gather+pack variant (_gather_pack_T) was measured
+# NEGATIVE (~2x slower than _gather_pack + transpose at B=512 K=1280 on
+# v5e) and lives in scripts/osd_microbench.py with its timing harness;
+# see also the negative-results log in CLAUDE.md.
 def _gather_pack(H, colsK, Kp: int, chunk: int = 256) -> jax.Array:
     """Per-shot column gather + bit-pack, chunked over columns so the
     transient unpacked gather never exceeds (B, m, chunk) bytes."""

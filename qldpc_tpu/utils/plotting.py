@@ -15,16 +15,21 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
-COLORS = ["#2E72AE", "#64B791", "#DBA142", "#000000", "#E17792"]
+# House palette (colorblind-safe, Okabe-Ito subset) — deliberately NOT the
+# reference's styling constants; only the plot SEMANTICS (what is plotted
+# against what, the fit extension to 1e-4, the returned R^2 dict) mirror
+# reference src/utils/plotting.py.
+COLORS = ["#0072B2", "#E69F00", "#009E73", "#CC79A7", "#56B4E9", "#D55E00"]
+GRID_KW = dict(ls="--", alpha=0.3)
 
 
 def plot_simulation_results(results: Dict, filename="simulation_results.png"):
-    plt.figure(figsize=(10, 7))
+    plt.figure(figsize=(8, 5.5))
     for i, (name, data) in enumerate(results.items()):
         ps = sorted(data.keys())
         lers = [data[p]["logical_error_rate"] for p in ps]
         color = COLORS[i % len(COLORS)]
-        plt.loglog(ps, lers, "o", label=f"n={name}", color=color)
+        plt.loglog(ps, lers, "o", ms=5, label=f"n={name}", color=color)
         ps_a = np.array(ps, dtype=float)
         le_a = np.array(lers, dtype=float)
         mask = (ps_a > 0) & (le_a > 0)
@@ -34,14 +39,14 @@ def plot_simulation_results(results: Dict, filename="simulation_results.png"):
             fx = np.linspace(np.log10(1e-4), np.log10(max(ps)), 200)
             plt.loglog(10 ** fx, 10 ** (slope * fx + intercept), "-",
                        color=color)
-    plt.xlabel("Physical Error Rate p")
-    plt.ylabel("Logical Error Rate LER")
+    plt.xlabel("physical error rate p")
+    plt.ylabel("logical error rate")
     plt.xlim(1e-4, 1e-2)
     plt.ylim(1e-7, 1.5)
-    plt.grid(True, which="both", ls="-", alpha=0.5)
+    plt.grid(True, which="both", **GRID_KW)
     plt.legend()
-    plt.title("Spatio-Temporal Decoding Performance")
-    plt.savefig(filename, dpi=150)
+    plt.title("Circuit-level logical error rate vs physical error rate")
+    plt.savefig(filename, dpi=160)
     plt.close()
     return filename
 
@@ -57,7 +62,7 @@ def plot_alpha_comparison(results: Dict, filename="alpha_comparison.png"):
         return None
     ncols = 2 if len(names) > 1 else 1
     nrows = math.ceil(len(names) / ncols)
-    fig, axes = plt.subplots(nrows, ncols, figsize=(7 * ncols, 4 * nrows),
+    fig, axes = plt.subplots(nrows, ncols, figsize=(6 * ncols, 4.2 * nrows),
                              squeeze=False)
     for ax, name in zip(axes.flat, names):
         dyn_plotted = False
@@ -77,14 +82,14 @@ def plot_alpha_comparison(results: Dict, filename="alpha_comparison.png"):
                         label="dynamical")
                 dyn_plotted = True
         ax.set_title(f"n={name}")
-        ax.set_xlabel("Iteration")
-        ax.set_ylabel("Alpha")
-        ax.grid(True, ls="-", alpha=0.4)
+        ax.set_xlabel("BP iteration k")
+        ax.set_ylabel(r"normalization $\alpha_k$")
+        ax.grid(True, **GRID_KW)
         ax.legend(fontsize=8)
     for idx in range(len(names), nrows * ncols):
         fig.delaxes(axes.flat[idx])
     plt.tight_layout()
-    plt.savefig(filename, dpi=150)
+    plt.savefig(filename, dpi=160)
     plt.close()
     return filename
 
@@ -98,7 +103,7 @@ def plot_alpha_linearity(results: Dict, filename="alpha_linearity.png"):
         return r2_values
     ncols = 2 if len(names) > 1 else 1
     nrows = math.ceil(len(names) / ncols)
-    fig, axes = plt.subplots(nrows, ncols, figsize=(7 * ncols, 4 * nrows),
+    fig, axes = plt.subplots(nrows, ncols, figsize=(6 * ncols, 4.2 * nrows),
                              squeeze=False)
 
     def fit_r2(iters, seq):
@@ -129,13 +134,13 @@ def plot_alpha_linearity(results: Dict, filename="alpha_linearity.png"):
                 ax.plot(iters, fit, "-.", label=f"p={p} X fit (R^2={r2_x:.3f})")
             r2_values[name][p] = {"z": r2_z, "x": r2_x}
         ax.set_title(f"n={name}")
-        ax.set_xlabel("Iteration")
-        ax.set_ylabel("Alpha")
-        ax.grid(True, ls="-", alpha=0.4)
+        ax.set_xlabel("BP iteration k")
+        ax.set_ylabel(r"normalization $\alpha_k$")
+        ax.grid(True, **GRID_KW)
         ax.legend(fontsize=8)
     for idx in range(len(names), nrows * ncols):
         fig.delaxes(axes.flat[idx])
     plt.tight_layout()
-    plt.savefig(filename, dpi=150)
+    plt.savefig(filename, dpi=160)
     plt.close()
     return r2_values

@@ -1,4 +1,4 @@
-"""Cycle-periodic ("time-Toeplitz") layout for the min-sum BP decoder.
+"""NEGATIVE EXPERIMENT (moved out of the package): Cycle-periodic ("time-Toeplitz") layout for the min-sum BP decoder.
 
 The circuit-level decoding graphs are block-banded and periodic along the
 syndrome-cycle axis: every fault-equivalence class (column of HdecZ/HdecX)

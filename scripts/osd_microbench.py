@@ -23,7 +23,37 @@ import numpy as np
 from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, get_code
 from qldpc_tpu.ops import sampler
 from qldpc_tpu.ops.bp import alpha_schedule, decode_batch
-from qldpc_tpu.ops.osd import _gather_pack, _gather_pack_T, osd_batch
+from qldpc_tpu.ops.osd import _gather_pack, osd_batch
+import numpy as _np
+
+
+def _gather_pack_T(HTu8, colsK, Kp, chunk=512):
+    """NEGATIVE EXPERIMENT (moved out of the package): transposed-layout
+    gather+pack — ~2x slower than _gather_pack + transpose on v5e."""
+    import jax.numpy as jnp
+    B, K = colsK.shape
+    m = HTu8.shape[1]
+    out = []
+    for c0 in range(0, Kp, chunk):
+        c1 = min(c0 + chunk, Kp)
+        if c0 >= K:
+            out.append(jnp.zeros((B, (c1 - c0) // 32, m), jnp.uint32))
+            continue
+        idx = colsK[:, c0:min(c1, K)]
+        G = jnp.take(HTu8, idx, axis=0)
+        if c1 > K:
+            G = jnp.pad(G, ((0, 0), (0, c1 - K), (0, 0)))
+    
+        c = G.shape[1]
+        w8 = jnp.asarray(1 << _np.arange(8, dtype=_np.uint32), jnp.uint8)
+        P8 = jnp.sum(G.reshape(B, c // 8, 8, m) * w8[None, None, :, None],
+                     axis=2, dtype=jnp.uint8)
+        w32 = jnp.asarray([1, 1 << 8, 1 << 16, 1 << 24], jnp.uint32)
+        P32 = jnp.sum(P8.reshape(B, c // 32, 4, m).astype(jnp.uint32)
+                      * w32[None, None, :, None], axis=2)
+        out.append(P32)
+    return jnp.concatenate(out, axis=1)
+
 from qldpc_tpu.ops.osd_pallas import eliminate_blocks, pick_block_shots
 from qldpc_tpu.parallel.engine import _make_basis, make_key
 from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,

@@ -12,7 +12,9 @@ import jax.numpy as jnp
 from qldpc_tpu import (SyndromeCircuit, build_decoding_matrices,
                        channel_llrs, get_code)
 from qldpc_tpu.ops.bp import TannerGraph, alpha_schedule, decode_batch
-from qldpc_tpu.ops.bp_grid import PeriodicGraph, decode_batch_grid
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+from bp_grid_experiment import PeriodicGraph, decode_batch_grid
 
 
 def test_grid_detection_and_bitexact_equivalence():
