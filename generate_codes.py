@@ -5,6 +5,11 @@ Self-contained equivalent of the reference's offline generator
 package): parity checks are reconstructed from the polynomial powers via
 kron/roll and logical operators are derived with GF(2) linear algebra.
 Output format matches the reference's codes/*.npz exactly (same keys), and
+the Hx/Hz/polynomial content is byte-identical; the logical-operator rows
+Lx/Lz are an independently derived (self-checked) symplectic basis — valid
+logicals are not unique, and the logical-error criterion ("any logical
+mismatch") is basis-invariant. Golden comparisons against the reference's
+matrix_cache use the reference's own Lx/Lz (tests/test_builder.py).
 Hx/Hz are verified against the polynomial reconstruction.
 """
 from __future__ import annotations
