@@ -32,6 +32,12 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+# Eliminator kernel generation: 2 = augmented-syndrome + unrolled steps
+# (default), 1 = the original kernel (kept for A/B timing and regression
+# hunts; QLDPC_OSD_KERNEL=1 selects it without code changes).
+_KERNEL_VERSION = int(__import__("os").environ.get("QLDPC_OSD_KERNEL", "2"))
+
+
 def _word_group(W: int) -> int:
     """Left-skip tail-group width: multiple of 8, at most 5 unrolled
     sections so kernel code size stays bounded for wide (full-n) matrices."""
@@ -143,6 +149,106 @@ def _elim_kernel(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
             break
 
 
+def _elim_kernel_v2(hp_ref, out_hp_ref, colofrow_ref, *, K: int, m: int,
+                    rank: int, W_s: int, unroll: int = 4,
+                    full_jordan: bool = False, exit_on_valid: bool = True):
+    """Fused multi-column variant of _elim_kernel. The elimination at
+    production block sizes is VMEM-traffic-bound on the (S, Wt, M) tail
+    passes (v1 pays ~3 per column: pivot-row read, XOR read, write), so:
+
+    1. AUGMENTED SYNDROME: the residual syndrome rides in bit 0 of packed
+       word ``W_s`` (always inside every group's tail slice): the pivot's
+       syndrome bit arrives with the pivot-row extraction and the syndrome
+       XOR fuses into the tail update.
+    2. FUSED ``unroll``-COLUMN UPDATE: all ``unroll`` pivots are selected
+       against the PRE-update state T0 with word-level corrections, then
+       their rank-1 updates land in ONE tail read-modify-write:
+           T_k = T0 ^ XOR_i R_i (x) prow_i
+           prow_i = T0[r_i] ^ XOR_{l<i} R_l[r_i] * prow_l
+           bits_i = bits_i(T0) ^ XOR_{l<i} R_l * prow_l[c_i]
+       (plain GF(2) algebra — bit-identical to the sequential updates;
+       cross-checked by tests/test_osd_pallas.py and on hardware by
+       scripts/osd_kernel_ab.py). Tail passes per ``unroll`` columns:
+       ``unroll`` masked-reduction reads + 1 elementwise read-modify-write
+       (a fused where-chain) instead of 3 * unroll.
+    3. Exit checks once per fused group; a block may overrun its exit point
+       by up to unroll-1 columns — every consumed output is unchanged
+       (post-validity pivots carry a zero syndrome bit; see v1 docstring).
+       colofrow lives in the loop carry, written back once at the end.
+    """
+    S, W_aug, M = hp_ref.shape
+    out_hp_ref[:] = hp_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
+    valid_lane = lane < m
+
+    def unsat_of(colofrow):
+        sword = out_hp_ref[:, pl.ds(W_s, 1), :][:, 0, :]     # static slice
+        return jnp.max(jnp.where((colofrow < 0) & valid_lane,
+                                 sword & jnp.int32(1), 0), axis=1)
+
+    def make_body(g0: int, Wt: int):
+        def body(carry):
+            col, _, colofrow = carry
+            tail0 = out_hp_ref[:, pl.ds(g0, Wt), :]          # T0 (pre-update)
+            Rs, prows = [], []
+            for i in range(unroll):
+                c = col + i
+                w = c // 32
+                bit = c % 32
+                word = out_hp_ref[:, pl.ds(w, 1), :][:, 0, :]    # T0 word
+                b = (word >> bit) & jnp.int32(1)
+                # correct column bits for the l < i pending updates
+                for l in range(i):
+                    pw = prows[l][:, :, 0]                       # (S, Wt)
+                    p_bit = (jax.lax.dynamic_slice_in_dim(
+                        pw, w - g0, 1, axis=1) >> bit) & jnp.int32(1)
+                    b = b ^ (Rs[l] & p_bit)                      # (S, M)
+                cand = (b == 1) & (colofrow < 0) & valid_lane
+                if K % unroll:  # guard tail columns past K (never pivot on
+                    cand = cand & (c < K)  # the syndrome/padding words)
+                piv = jnp.min(jnp.where(cand, lane, M), axis=1,
+                              keepdims=True)                     # (S, 1)
+                has = piv < M
+                pivmask = (lane == piv) & has                    # (S, M)
+                # pivot row from T0, corrected by pending updates at r_i
+                prow = jnp.sum(jnp.where(pivmask[:, None, :], tail0, 0),
+                               axis=2, keepdims=True)            # (S, Wt, 1)
+                for l in range(i):
+                    rl_at_ri = jnp.sum(jnp.where(pivmask, Rs[l], 0),
+                                       axis=1)[:, None, None]    # (S, 1, 1)
+                    prow = prow ^ (rl_at_ri * prows[l])
+                Rs.append(((b == 1) & ~pivmask & has).astype(jnp.int32))
+                prows.append(prow)
+                colofrow = jnp.where(pivmask, c, colofrow)
+            acc = tail0
+            for i in range(unroll):
+                acc = jnp.where(Rs[i][:, None, :] == 1, acc ^ prows[i], acc)
+            out_hp_ref[:, pl.ds(g0, Wt), :] = acc
+            npiv = jnp.sum((colofrow >= 0).astype(jnp.int32), axis=1)
+            shot_done = npiv >= rank
+            if exit_on_valid:
+                shot_done = shot_done | (unsat_of(colofrow) == 0)
+            return col + unroll, jnp.all(shot_done), colofrow
+
+        return body
+
+    colofrow = jnp.full((S, M), -1, jnp.int32)
+    done = (jnp.all(unsat_of(colofrow) == 0) if exit_on_valid
+            else jnp.bool_(False))
+    col = jnp.int32(0)
+    group = W_s if full_jordan else _word_group(W_s)
+    for g in range(0, W_s, group):
+        # tail always includes the syndrome word (W_aug - g0 words)
+        Wt = W_aug - g
+        c_end = min((g + group) * 32, K)
+        col, done, colofrow = jax.lax.while_loop(
+            lambda cr, e=c_end: (cr[0] < e) & ~cr[1], make_body(g, Wt),
+            (col, done, colofrow))
+        if (g + group) * 32 >= K:
+            break
+    colofrow_ref[:, 0, :] = colofrow
+
+
 @functools.partial(jax.jit, static_argnames=("K", "m", "block_shots",
                                              "interpret", "rank",
                                              "full_jordan", "exit_on_valid"))
@@ -171,47 +277,82 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
     exit_on_valid=False for bit-exact full-scan outputs (oracle tests)."""
     B, W, M = Hp.shape
     W8 = _round_up(max(W, 8), 8)  # Mosaic: second-minor block dim % 8 == 0
-    if W8 != W:
-        Hp = jnp.pad(Hp, ((0, 0), (0, W8 - W), (0, 0)))
-    Hp = jax.lax.bitcast_convert_type(Hp, jnp.int32)
-    s = s[:, None, :]
     S = min(block_shots, B)
     assert B % S == 0, (B, S)
     grid = (B // S,)
-    kernel = functools.partial(_elim_kernel, K=K, m=m,
-                               rank=m if rank is None else rank,
-                               full_jordan=full_jordan,
-                               exit_on_valid=exit_on_valid)
-    out_hp, out_s, colofrow = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((S, W8, M), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((S, W8, M), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, W8, M), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
-        ],
-        input_output_aliases={0: 0, 1: 1},  # eliminate in place
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 << 20),
-        interpret=interpret,
-    )(Hp, s)
-    out_hp = jax.lax.bitcast_convert_type(out_hp[:, :W, :], jnp.uint32)
-    out_s = out_s[:, 0, :]
-    colofrow = colofrow[:, 0, :]
+    rank = m if rank is None else rank
+    if _KERNEL_VERSION == 2:
+        # augmented layout: syndrome in bit 0 of word W8, zero-padded to a
+        # sublane tile. Every group tail slice reaches W_aug, so the
+        # syndrome update rides the tail XOR for free.
+        W_aug = W8 + 8
+        Hp = jnp.pad(jax.lax.bitcast_convert_type(Hp, jnp.int32),
+                     ((0, 0), (0, W_aug - W), (0, 0)))
+        Hp = Hp.at[:, W8, :].set(s.astype(jnp.int32))
+        kernel = functools.partial(_elim_kernel_v2, K=K, m=m, rank=rank,
+                                   W_s=W8, full_jordan=full_jordan,
+                                   exit_on_valid=exit_on_valid)
+        out_hp, colofrow = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((S, W_aug, M), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((S, W_aug, M), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, W_aug, M), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+            ],
+            input_output_aliases={0: 0},  # eliminate in place
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
+            interpret=interpret,
+        )(Hp)
+        out_s = out_hp[:, W8, :] & 1
+        out_hp = jax.lax.bitcast_convert_type(out_hp[:, :W, :], jnp.uint32)
+        colofrow = colofrow[:, 0, :]
+    else:
+        if W8 != W:
+            Hp = jnp.pad(Hp, ((0, 0), (0, W8 - W), (0, 0)))
+        Hp = jax.lax.bitcast_convert_type(Hp, jnp.int32)
+        s = s[:, None, :]
+        kernel = functools.partial(_elim_kernel, K=K, m=m, rank=rank,
+                                   full_jordan=full_jordan,
+                                   exit_on_valid=exit_on_valid)
+        out_hp, out_s, colofrow = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((S, W8, M), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((S, W8, M), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, 1, M), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, W8, M), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+            ],
+            input_output_aliases={0: 0, 1: 1},  # eliminate in place
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
+            interpret=interpret,
+        )(Hp, s)
+        out_hp = jax.lax.bitcast_convert_type(out_hp[:, :W, :], jnp.uint32)
+        out_s = out_s[:, 0, :]
+        colofrow = colofrow[:, 0, :]
     # invert row->column into prow_of_col (cheap XLA scatter)
     used = colofrow >= 0                                         # (B, M)
     lane = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
@@ -235,7 +376,7 @@ def pick_block_shots(m_pad: int, W: int, vmem_budget: int = 26 << 20) -> int:
     block's max: S=32 measured ~25%% faster than S=64 net of the dispatch
     floor on [[144]] B=512 real failed shots; S=16/8 are flat vs 32
     (scripts/osd_blockshots_sweep.py)."""
-    W8 = _round_up(max(W, 8), 8)
+    W8 = _round_up(max(W, 8), 8) + (8 if _KERNEL_VERSION == 2 else 0)
     per_shot = m_pad * W8 * 4 * 2 + m_pad * 4 * 6  # 2x-buffered Hp + small
     s = max(1, vmem_budget // max(per_shot, 1))
     return 1 << min(5, max(0, int(np.log2(s))))

@@ -493,10 +493,15 @@ def run_simulation(
             round_idx += 1
         flags = jax.device_get(inflight.popleft())
         take = min(round_shots, max_trials - trials_run)
+        # whole-round error count, psum-reduced across the mesh on device
+        # (mesh.py shard_rounds); the per-shot cumsum below is only touched
+        # in the round that actually crosses the stopping target
+        round_count = int(flags.get("any_err_count",
+                                    np.asarray(flags["any_err"]).sum()))
         z = np.asarray(flags["z_err"][:take])
         x = np.asarray(flags["x_err"][:take])
         a = np.asarray(flags["any_err"][:take])
-        if stop_on_errors:
+        if stop_on_errors and tot_errs + round_count >= target_logical_errors:
             cum = np.cumsum(a)
             crossing = np.searchsorted(cum, tot_errs_target(
                 target_logical_errors, tot_errs))

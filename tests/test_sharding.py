@@ -41,6 +41,43 @@ def test_sharded_round_shapes_and_decorrelation(round_setup):
     assert len({s.tobytes() for s in shards}) > 1
 
 
+def test_psum_error_count_matches_flags(round_setup):
+    """The on-device psum error count (mesh.py shard_rounds) must equal the
+    sum of the gathered per-shot flags, on both the mesh and the
+    single-device paths."""
+    for mesh in (shot_mesh(), None):
+        sharded = shard_rounds(round_setup, mesh)
+        out = jax.device_get(sharded(make_key(3)))
+        assert int(out["any_err_count"]) == int(out["any_err"].sum())
+
+
+def test_stopping_with_uneven_trials_and_fused_rounds():
+    """Engine stopping with max_trials NOT a multiple of the fused round
+    size (batch * n_dev * rounds_per_dispatch): the run must truncate at
+    exactly max_trials, and a crossed error target must truncate at the
+    crossing trial — under the scanned + sharded + psum-counted path."""
+    from qldpc_tpu.parallel.engine import run_simulation
+    code = get_code("[[72, 12, 6]]")
+    bb = dict(ell=code.ell, m=code.m, a_x_powers=code.a_x_powers,
+              a_y_powers=code.a_y_powers, b_y_powers=code.b_y_powers,
+              b_x_powers=code.b_x_powers)
+    # round size = 8 shots x 8 devices x 2 fused rounds = 128; 200 is uneven
+    res = run_simulation(code.Hx, code.Hz, code.Lx, code.Lz, 0.008,
+                         num_cycles=2, maxIter=5, osd_order=0,
+                         alpha_mode="dynamical", max_trials=200,
+                         batch_size=8, rounds_per_dispatch=2, base_seed=13,
+                         verbose=False, **bb)
+    assert res["num_trials"] == 200
+    res2 = run_simulation(code.Hx, code.Hz, code.Lx, code.Lz, 0.008,
+                          num_cycles=2, maxIter=5, osd_order=0,
+                          alpha_mode="dynamical", max_trials=2000,
+                          target_logical_errors=7, batch_size=8,
+                          rounds_per_dispatch=2, base_seed=13,
+                          verbose=False, **bb)
+    assert res2["logical_errors"] == 7
+    assert res2["num_trials"] < 2000
+
+
 def test_sharded_matches_gathered_single_device(round_setup):
     """Each device's shard equals a single-device round run with that
     device's folded key — SPMD changes layout, not results."""
