@@ -70,9 +70,19 @@ def _pack_columns(bits: jax.Array) -> jax.Array:
 # NEGATIVE (~2x slower than _gather_pack + transpose at B=512 K=1280 on
 # v5e) and lives in scripts/osd_microbench.py with its timing harness;
 # see also the negative-results log in CLAUDE.md.
-def _gather_pack(H, colsK, Kp: int, chunk: int = 256) -> jax.Array:
+def _gather_pack(H, colsK, Kp: int, chunk: int = 256,
+                 words_major: bool = False) -> jax.Array:
     """Per-shot column gather + bit-pack, chunked over columns so the
-    transient unpacked gather never exceeds (B, m, chunk) bytes."""
+    transient unpacked gather never exceeds (m, B, chunk) bytes.
+
+    The gather lands in (m, B, chunk) layout and is PACKED BEFORE any
+    transpose: the unpacked uint8 tensor (32x the packed size, ~660MB at
+    production [[144]] shapes) is only ever read once where it falls out of
+    the gather; all layout moves happen on the packed words.
+
+    Returns (B, m, Kp//32), or the eliminator's (B, Kp//32, m) layout
+    directly when words_major=True (skips the second transpose the Pallas
+    path would otherwise pay)."""
     B, K = colsK.shape
     m = H.shape[0]
     Hu8 = H.astype(jnp.uint8)
@@ -80,14 +90,17 @@ def _gather_pack(H, colsK, Kp: int, chunk: int = 256) -> jax.Array:
     for c0 in range(0, Kp, chunk):
         c1 = min(c0 + chunk, Kp)
         if c0 >= K:
-            words.append(jnp.zeros((B, m, (c1 - c0) // 32), jnp.uint32))
+            words.append(jnp.zeros((m, B, (c1 - c0) // 32), jnp.uint32))
             continue
         idx = colsK[:, c0:min(c1, K)]
-        Hg = jnp.transpose(jnp.take(Hu8, idx, axis=1), (1, 0, 2))
+        Hg = jnp.take(Hu8, idx, axis=1)                    # (m, B, c)
         if c1 > K:  # zero-pad the final partial chunk
             Hg = jnp.pad(Hg, ((0, 0), (0, 0), (0, c1 - K)))
-        words.append(_pack_columns(Hg))
-    return jnp.concatenate(words, axis=-1)
+        words.append(_pack_columns(Hg))                    # (m, B, c/32)
+    packed = jnp.concatenate(words, axis=-1)               # (m, B, Kp/32)
+    if words_major:
+        return jnp.transpose(packed, (1, 2, 0))            # (B, W, m)
+    return jnp.transpose(packed, (1, 0, 2))                # (B, m, W)
 
 
 @partial(jax.jit, static_argnames=("K", "order", "num_test", "use_pallas",
@@ -214,8 +227,8 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
         # matrix is recomputed on demand inside the reprocess cond.
         from .osd_pallas import eliminate_blocks, pick_block_shots
         M_pad = -(-m // 128) * 128
-        packed = _gather_pack(H, colsK, Kp)                      # (B, m, Wp)
-        HpT_pref = jnp.pad(jnp.transpose(packed, (0, 2, 1)),
+        packed_wm = _gather_pack(H, colsK, Kp, words_major=True)  # (B,Wp,m)
+        HpT_pref = jnp.pad(packed_wm,
                            ((0, 0), (0, 0), (0, M_pad - m)))     # (B,Wp,M)
         s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
         W_full = KT // 32 if KT % 32 == 0 else -(-KT // 32)

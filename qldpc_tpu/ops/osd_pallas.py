@@ -32,10 +32,16 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-# Eliminator kernel generation: 2 = augmented-syndrome + unrolled steps
-# (default), 1 = the original kernel (kept for A/B timing and regression
-# hunts; QLDPC_OSD_KERNEL=1 selects it without code changes).
-_KERNEL_VERSION = int(__import__("os").environ.get("QLDPC_OSD_KERNEL", "2"))
+# Eliminator kernel generation. 1 (default) = the original kernel. 2 = the
+# fused multi-column variant (_elim_kernel_v2): augmented-syndrome word +
+# unroll-4 fused rank-1 updates. MEASURED NEGATIVE on v5e: bit-exact but
+# 54.6ms vs v1's 49.0ms on the full [[144]] B=512 failed batch
+# (scripts/osd_kernel_ab.py) — the per-column cost is a serial-dependency
+# floor (ref read -> reduce -> ref write per column), not pass count or
+# small-op count; Mosaic does not fuse elementwise where-chains, so the
+# "single" fused update still materializes one VMEM pass per rank-1 term.
+# Kept selectable (QLDPC_OSD_KERNEL=2) for future A/B.
+_KERNEL_VERSION = int(__import__("os").environ.get("QLDPC_OSD_KERNEL", "1"))
 
 
 def _word_group(W: int) -> int:
@@ -190,19 +196,31 @@ def _elim_kernel_v2(hp_ref, out_hp_ref, colofrow_ref, *, K: int, m: int,
         def body(carry):
             col, _, colofrow = carry
             tail0 = out_hp_ref[:, pl.ds(g0, Wt), :]          # T0 (pre-update)
-            Rs, prows = [], []
+            Rs, prows, pivmasks = [], [], []
+            cb0s = []        # T0 bits of each sub-column, (S, M)
+            pbits = {}       # (l, i) -> prow_l's bit at column c_i, (S, 1)
+            rjl = {}         # (j, l) -> R_j[r_l], (S, 1)
             for i in range(unroll):
                 c = col + i
                 w = c // 32
                 bit = c % 32
                 word = out_hp_ref[:, pl.ds(w, 1), :][:, 0, :]    # T0 word
-                b = (word >> bit) & jnp.int32(1)
-                # correct column bits for the l < i pending updates
+                cb0 = (word >> bit) & jnp.int32(1)               # (S, M)
+                cb0s.append(cb0)
+                b = cb0
+                # correct column bits for the l < i pending updates; each
+                # needed prow bit is a lane reduction of the ALREADY-READ
+                # T0 word, recursively corrected (Mosaic has no value
+                # dynamic_slice to read it from prow directly):
+                #   pbit(l,i) = reduce(pivmask_l * cb0_i)
+                #             ^ XOR_{j<l} rjl(j,l) * pbit(j,i)
                 for l in range(i):
-                    pw = prows[l][:, :, 0]                       # (S, Wt)
-                    p_bit = (jax.lax.dynamic_slice_in_dim(
-                        pw, w - g0, 1, axis=1) >> bit) & jnp.int32(1)
-                    b = b ^ (Rs[l] & p_bit)                      # (S, M)
+                    t = jnp.sum(jnp.where(pivmasks[l], cb0, 0), axis=1,
+                                keepdims=True)                   # (S, 1)
+                    for j in range(l):
+                        t = t ^ (rjl[(j, l)] * pbits[(j, i)])
+                    pbits[(l, i)] = t
+                    b = b ^ (Rs[l] * t)                          # (S, M)
                 cand = (b == 1) & (colofrow < 0) & valid_lane
                 if K % unroll:  # guard tail columns past K (never pivot on
                     cand = cand & (c < K)  # the syndrome/padding words)
@@ -214,11 +232,13 @@ def _elim_kernel_v2(hp_ref, out_hp_ref, colofrow_ref, *, K: int, m: int,
                 prow = jnp.sum(jnp.where(pivmask[:, None, :], tail0, 0),
                                axis=2, keepdims=True)            # (S, Wt, 1)
                 for l in range(i):
-                    rl_at_ri = jnp.sum(jnp.where(pivmask, Rs[l], 0),
-                                       axis=1)[:, None, None]    # (S, 1, 1)
-                    prow = prow ^ (rl_at_ri * prows[l])
+                    rl = jnp.sum(jnp.where(pivmask, Rs[l], 0), axis=1,
+                                 keepdims=True)                  # (S, 1)
+                    rjl[(l, i)] = rl
+                    prow = prow ^ (rl[:, :, None] * prows[l])
                 Rs.append(((b == 1) & ~pivmask & has).astype(jnp.int32))
                 prows.append(prow)
+                pivmasks.append(pivmask)
                 colofrow = jnp.where(pivmask, c, colofrow)
             acc = tail0
             for i in range(unroll):
@@ -247,6 +267,94 @@ def _elim_kernel_v2(hp_ref, out_hp_ref, colofrow_ref, *, K: int, m: int,
         if (g + group) * 32 >= K:
             break
     colofrow_ref[:, 0, :] = colofrow
+
+
+def _elim_kernel_v3(hp_ref, s_ref, out_hp_ref, out_s_ref, colofrow_ref,
+                    *, K: int, m: int, rank: int, S: int,
+                    full_jordan: bool = False, exit_on_valid: bool = True):
+    """Dual-block interleave: TWO independent S-shot blocks advance through
+    the v1 column scan inside ONE while_loop body. Hypothesis under test:
+    the per-column cost is a serial-dependency stall floor (each op waits
+    on the previous ref read/reduce/write), so interleaving two independent
+    chains overlaps the stalls and two blocks finish in ~one block's wall
+    time. The batch arrives sorted by difficulty, so the two contiguous
+    halves of a 2S slice have similar exit depths and the max-depth loop
+    bound wastes little. Semantics per half are exactly v1's (a finished or
+    past-c_end half runs data-level no-ops: cand is masked by its active
+    flag, so no pivot, no XOR)."""
+    S2, W, M = hp_ref.shape
+    assert S2 == 2 * S
+    out_hp_ref[:] = hp_ref[:]
+    out_s_ref[:] = s_ref[:]
+    colofrow_ref[:] = jnp.full((S2, 1, M), -1, jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
+    valid_lane = lane < m
+
+    def half_done(h0):
+        cf = colofrow_ref[h0:h0 + S, 0, :]
+        npiv = jnp.sum((cf >= 0).astype(jnp.int32), axis=1)
+        done = npiv >= rank
+        if exit_on_valid:
+            unsat = jnp.max(jnp.where((cf < 0) & valid_lane,
+                                      out_s_ref[h0:h0 + S, 0, :], 0),
+                            axis=1)
+            done = done | (unsat == 0)
+        return jnp.all(done)
+
+    def make_step(g0: int, Wt: int, c_end: int):
+        def sub(h0, col, active):
+            w = col // 32
+            bit = col % 32
+            word = out_hp_ref[h0:h0 + S, pl.ds(w, 1), :][:, 0, :]
+            colbits = (word >> bit) & jnp.int32(1)
+            cf = colofrow_ref[h0:h0 + S, 0, :]
+            cand = (colbits == 1) & (cf < 0) & valid_lane & active
+            piv = jnp.min(jnp.where(cand, lane, M), axis=1, keepdims=True)
+            has = piv < M
+            pivmask = (lane == piv) & has
+            tail = out_hp_ref[h0:h0 + S, pl.ds(g0, Wt), :]
+            prow = jnp.sum(jnp.where(pivmask[:, None, :], tail, 0),
+                           axis=2, keepdims=True)
+            sh = out_s_ref[h0:h0 + S, 0, :]
+            ps = jnp.sum(jnp.where(pivmask, sh, 0), axis=1, keepdims=True)
+            elim = (colbits == 1) & ~pivmask & has
+            out_hp_ref[h0:h0 + S, pl.ds(g0, Wt), :] = jnp.where(
+                elim[:, None, :], tail ^ prow, tail)
+            out_s_ref[h0:h0 + S, 0, :] = jnp.where(elim, sh ^ ps, sh)
+            colofrow_ref[h0:h0 + S, 0, :] = jnp.where(pivmask, col, cf)
+
+        def step(carry):
+            colA, colB, dA, dB = carry
+            actA = ~dA & (colA < c_end)
+            actB = ~dB & (colB < c_end)
+            sub(0, colA, actA)
+            sub(S, colB, actB)
+            dA = dA | half_done(0)
+            dB = dB | half_done(S)
+            return (jnp.minimum(colA + 1, c_end),
+                    jnp.minimum(colB + 1, c_end), dA, dB)
+
+        return step
+
+    if exit_on_valid:
+        dA = jnp.all(jnp.max(jnp.where(valid_lane,
+                                       out_s_ref[0:S, 0, :], 0),
+                             axis=1) == 0)
+        dB = jnp.all(jnp.max(jnp.where(valid_lane,
+                                       out_s_ref[S:2 * S, 0, :], 0),
+                             axis=1) == 0)
+    else:
+        dA = dB = jnp.bool_(False)
+    group = W if full_jordan else _word_group(W)
+    for g in range(0, W, group):
+        Wt = W - g
+        c_end = min((g + group) * 32, K)
+        colA, colB, dA, dB = jax.lax.while_loop(
+            lambda c, e=c_end: ((c[0] < e) & ~c[2]) | ((c[1] < e) & ~c[3]),
+            make_step(g, Wt, c_end),
+            (jnp.int32(g * 32), jnp.int32(g * 32), dA, dB))
+        if g * 32 >= K:
+            break
 
 
 @functools.partial(jax.jit, static_argnames=("K", "m", "block_shots",
@@ -320,9 +428,19 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
             Hp = jnp.pad(Hp, ((0, 0), (0, W8 - W), (0, 0)))
         Hp = jax.lax.bitcast_convert_type(Hp, jnp.int32)
         s = s[:, None, :]
-        kernel = functools.partial(_elim_kernel, K=K, m=m, rank=rank,
-                                   full_jordan=full_jordan,
-                                   exit_on_valid=exit_on_valid)
+        if _KERNEL_VERSION == 3 and B % (2 * S) == 0:
+            # dual-block interleave: one grid step advances TWO independent
+            # S-shot blocks (see _elim_kernel_v3)
+            S2 = 2 * S
+            grid = (B // S2,)
+            kernel = functools.partial(_elim_kernel_v3, K=K, m=m, rank=rank,
+                                       S=S, full_jordan=full_jordan,
+                                       exit_on_valid=exit_on_valid)
+            S = S2
+        else:
+            kernel = functools.partial(_elim_kernel, K=K, m=m, rank=rank,
+                                       full_jordan=full_jordan,
+                                       exit_on_valid=exit_on_valid)
         out_hp, out_s, colofrow = pl.pallas_call(
             kernel,
             grid=grid,

@@ -55,7 +55,9 @@ def shard_rounds(round_fn: Callable, mesh: Optional[Mesh]) -> Callable:
     if mesh is None or len(mesh.devices.ravel()) == 1:
         def single(key, *rest):
             out = dict(round_fn(key, *rest))
-            out["any_err_count"] = jnp.sum(out["any_err"].astype(jnp.int32))
+            if "any_err" in out:  # round dicts without error flags (e.g.
+                out["any_err_count"] = jnp.sum(  # code-capacity) pass through
+                    out["any_err"].astype(jnp.int32))
             return out
 
         return single
@@ -63,6 +65,8 @@ def shard_rounds(round_fn: Callable, mesh: Optional[Mesh]) -> Callable:
     def per_device(key, *rest):
         dev = jax.lax.axis_index(SHOT_AXIS)
         out = dict(round_fn(jax.random.fold_in(key, dev), *rest))
+        if "any_err" not in out:
+            return out, jnp.int32(-1)
         count = jax.lax.psum(jnp.sum(out["any_err"].astype(jnp.int32)),
                              SHOT_AXIS)
         return out, count
@@ -80,7 +84,8 @@ def shard_rounds(round_fn: Callable, mesh: Optional[Mesh]) -> Callable:
     def sharded(key, *rest):
         flags, count = fn(key, *rest)
         flags = dict(flags)
-        flags["any_err_count"] = count
+        if "any_err" in flags:
+            flags["any_err_count"] = count
         return flags
 
     return jax.jit(sharded)

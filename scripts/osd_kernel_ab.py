@@ -80,8 +80,15 @@ def main():
                          return_solution=False)
 
     outs = {}
-    unrolls = [int(a) for a in sys.argv[1:]] or [4]
-    variants = [(1, None)] + [(2, u) for u in unrolls]
+    # args: kernel versions to compare against v1; "2" may carry an unroll
+    # as "2:u" (default 4); "3" is the dual-block interleave
+    variants = [(1, None)]
+    for a in sys.argv[1:] or ["3"]:
+        if ":" in a:
+            v, u = a.split(":")
+            variants.append((int(v), int(u)))
+        else:
+            variants.append((int(a), None))
     for ver, unroll in variants:
         osd_pallas._KERNEL_VERSION = ver
         tag = f"v{ver}" + (f"-u{unroll}" if unroll else "")

@@ -23,16 +23,21 @@ def bb_kwargs(code):
 
 
 def test_ler_matches_reference_high_p(code72):
-    """[[72,12,6]] at p=0.006: reference archives LER 0.51-0.57
-    (BASELINE.md rows 1 and 9). With ~100 errors the binomial error bar is
-    ~+-0.1; assert the estimate lands in a generous window."""
+    """[[72,12,6]] at p=0.006 dynamical/maxIter=20: the reference's own
+    pure-python path measures 0.595 at 200 errors (VALIDATION.md row 1 ran
+    at these exact settings; the 200-error archive at unknown config reads
+    0.568). Assert within 3.5 binomial sigma of 0.595 — a real statistical
+    golden, not a fixed band."""
     c = code72
     res = run_simulation(c.Hx, c.Hz, c.Lx, c.Lz, 0.006, num_cycles=6,
                          maxIter=20, osd_order=2, alpha_mode="dynamical",
                          target_logical_errors=100, max_trials=400,
                          base_seed=7, batch_size=64, verbose=False, **bb_kwargs(c))
-    assert res["num_trials"] >= 100
-    assert 0.35 <= res["logical_error_rate"] <= 0.75, res
+    n = res["num_trials"]
+    assert n >= 100
+    p_ref = 0.595
+    sigma = np.sqrt(p_ref * (1 - p_ref) / n)
+    assert abs(res["logical_error_rate"] - p_ref) <= 3.5 * sigma, (res, sigma)
     # multi-device CPU mesh engaged (conftest forces 8 virtual devices)
     assert res["num_devices"] == 8
 

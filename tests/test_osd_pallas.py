@@ -45,6 +45,47 @@ def test_eliminate_blocks_matches_xla():
     assert np.array_equal(np.asarray(pused)[:, :m], np.asarray(xused))
 
 
+def test_kernel_versions_match_v1():
+    """The alternative eliminator generations (v2 fused multi-column, v3
+    dual-block interleave) must reproduce v1 exactly on every output."""
+    import qldpc_tpu.ops.osd_pallas as op
+    rng = np.random.default_rng(6)
+    m, n, K, B = 24, 96, 96, 8
+    H = np.zeros((m, n), np.uint8)
+    for j in range(n):
+        H[rng.choice(m, 3, replace=False), j] = 1
+    errors = (rng.random((B, n)) < 0.12).astype(np.int8)
+    residual = jnp.asarray((errors @ H.T) % 2).astype(jnp.int32)
+    cols = jnp.asarray(np.stack([rng.permutation(n)[:K] for _ in range(B)]))
+    Kp = -(-K // 32) * 32
+    Hp = _gather_pack(jnp.asarray(H), cols, Kp)
+    M_pad = 128
+    HpT = jnp.pad(jnp.transpose(Hp, (0, 2, 1)),
+                  ((0, 0), (0, 0), (0, M_pad - m)))
+    s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
+
+    orig = op._KERNEL_VERSION
+    outs = {}
+    try:
+        for ver in (1, 2, 3):
+            op._KERNEL_VERSION = ver
+            jax.clear_caches()
+            # exit_on_valid=False -> all versions scan every column, so
+            # EVERY output must be bit-identical (v2 otherwise overruns its
+            # exit by up to unroll-1 columns, which is allowed for the
+            # consumed outputs but not raw-equal; that path is covered by
+            # test_validity_exit_matches_full_scan and the hardware A/B)
+            outs[ver] = eliminate_blocks(HpT, s_pad, K, m, block_shots=4,
+                                         interpret=True, exit_on_valid=False)
+    finally:
+        op._KERNEL_VERSION = orig
+        jax.clear_caches()
+    for ver in (2, 3):
+        for i, name in enumerate(["Hp", "s", "prow", "used", "colofrow"]):
+            a, b = np.asarray(outs[1][i]), np.asarray(outs[ver][i])
+            assert np.array_equal(a, b), (ver, name)
+
+
 def test_osd_batch_pallas_end_to_end():
     from qldpc_tpu.ops.osd import osd_batch
     rng = np.random.default_rng(11)
