@@ -475,6 +475,17 @@ def run_simulation(
     key = make_key(base_seed)
     z_errs = x_errs = tot_errs = trials_run = 0
     rankdef_seen = 0
+    progress = None
+    if verbose:
+        try:  # live progress like the reference's rich bar (engine.py:436)
+            from tqdm import tqdm
+            progress = tqdm(
+                total=(target_logical_errors if stop_on_errors
+                       else max_trials),
+                unit="err" if stop_on_errors else "trial",
+                desc=f"p={error_rate:g}", leave=False)
+        except ImportError:  # pragma: no cover
+            pass
     t_start = time.time()
     t_steady = None  # set after the first (compile-bearing) round
     steady_trials = 0
@@ -523,12 +534,19 @@ def run_simulation(
         if t_steady is None:  # first round carries the compile cost
             t_steady = time.time()
             steady_trials = trials_run
+        if progress is not None:
+            done_units = tot_errs if stop_on_errors else trials_run
+            progress.update(done_units - progress.n)
+            progress.set_postfix(trials=trials_run, ler=(
+                f"{tot_errs / max(1, trials_run):.3g}"))
         if verbose:
             logger.info("p=%.4g trials=%d errors=%d/%s", error_rate,
                         trials_run, tot_errs,
                         target_logical_errors if stop_on_errors else "inf")
         if stop_on_errors and tot_errs >= target_logical_errors:
             break
+    if progress is not None:
+        progress.close()
     elapsed = time.time() - t_start
     # steady-state throughput excludes the first round's compile time
     steady_elapsed = (time.time() - t_steady) if t_steady else elapsed

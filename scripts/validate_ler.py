@@ -39,6 +39,10 @@ BASELINE_POINTS = {
         ("[[144, 12, 12]]", 0.005, 5.92e-1, (200, 338)),
         ("[[144, 12, 12]]", 0.004, 1.76e-1, (200, 1135)),
         ("[[288, 12, 18]]", 0.005, 8.13e-1, (200, 246)),
+        # 30-error archive run_20260122_095028; the round-2 done criterion
+        # is gated-autoregressive LER <= the dynamical 0.022 (VALIDATION.md)
+        # instead of the ungated collapse to 1.000
+        ("[[288, 12, 18]]", 0.0035, 6.59e-2, (30, 455)),
     ],
     "dynamical": [
         ("[[72, 12, 6]]", 0.006, 5.08e-1, (30, 59)),
