@@ -13,3 +13,15 @@ __version__ = "0.1.0"
 from .models.bb import BBCode, CODE_REGISTRY, get_code
 from .models.circuit import SyndromeCircuit
 from .models.builder import build_decoding_matrices, channel_llrs
+
+
+def __getattr__(name):
+    # Lazy: importing the decode stack pulls in jax; keep bare
+    # `import qldpc_tpu` cheap for matrix-only consumers.
+    if name == "BatchDecoder":
+        from .parallel.decoder import BatchDecoder
+        return BatchDecoder
+    if name == "run_simulation":
+        from .parallel.engine import run_simulation
+        return run_simulation
+    raise AttributeError(name)

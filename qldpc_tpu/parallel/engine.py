@@ -144,11 +144,14 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
-                      osd_order: int, damping: float, clip_llr: float,
-                      use_pallas: bool = False, msg_dtype=jnp.float32,
-                      bp_variant: str = "minsum"):
-    """BP, OSD fallback for unconverged shots, logical comparison.
+def _decode_logicals(syndrome, dec: BasisDecoder, maxIter: int,
+                     osd_order: int, damping: float, clip_llr: float,
+                     use_pallas: bool = False, msg_dtype=jnp.float32,
+                     bp_variant: str = "minsum"):
+    """BP, OSD fallback for unconverged shots, logical readout.
+
+    Returns (dec_log (B, k) int32 — the decoded correction's logical
+    action, converged (B,) bool, rank_deficient (B,) bool).
 
     OSD applies only to BP-failed shots (reference engine.py:96-97). Under
     SPMD the batch is sorted unconverged-first and OSD runs chunk-wise, each
@@ -236,8 +239,19 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
     k = bp_log.shape[1]
     delta_bits = (delta[:, None] >> jnp.arange(k, dtype=jnp.int32)) & 1
     dec_log = bp_log ^ jnp.where(conv[:, None], 0, delta_bits)
+    return dec_log, bp["converged"], rdef
+
+
+def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
+                      osd_order: int, damping: float, clip_llr: float,
+                      use_pallas: bool = False, msg_dtype=jnp.float32,
+                      bp_variant: str = "minsum"):
+    """_decode_logicals + comparison against the true logical effect."""
+    dec_log, conv, rdef = _decode_logicals(
+        syndrome, dec, maxIter, osd_order, damping, clip_llr, use_pallas,
+        msg_dtype, bp_variant)
     err = jnp.any(dec_log != true_log.astype(jnp.int32), axis=1)
-    return err, bp["converged"], rdef
+    return err, conv, rdef
 
 
 def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
