@@ -61,6 +61,9 @@ def parse_args():
     p.add_argument("--base-seed", type=int, default=None)
     p.add_argument("--cache-dir", default="matrix_cache")
     p.add_argument("--output-dir", default="output")
+    p.add_argument("--resume", default=None, metavar="RUN_DIR",
+                   help="resume an interrupted sweep: reuse this run dir, "
+                        "skip (code, p) points already in its results.npz")
     return p.parse_args()
 
 
@@ -76,18 +79,33 @@ def main():
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s",
                         datefmt="%H:%M:%S")
     log = logging.getLogger("driver")
-    run_dir, est_dir = make_run_dir(args.output_dir)
-    results = {}
+    if args.resume:
+        run_dir = args.resume
+        est_dir = os.path.join(run_dir, "estimation_plots")
+        os.makedirs(est_dir, exist_ok=True)
+        results = {}
+        ckpt = os.path.join(run_dir, "results.npz")
+        if os.path.exists(ckpt):
+            from qldpc_tpu.utils.results import load_results
+            results = load_results(ckpt).get("results", {})
+            done = [(c, p) for c, d in results.items() for p in d]
+            log.info("resuming %s: %d completed points", run_dir, len(done))
+    else:
+        run_dir, est_dir = make_run_dir(args.output_dir)
+        results = {}
 
     for name in args.codes:
         code = load_code(name, args.codes_dir)
         short = str(code.n)
-        results[short] = {}
+        results.setdefault(short, {})
         cycles = args.num_cycles or code.distance or 12
         log.info("=== %s (n=%d, k=%d), %d cycles ===", name, code.n, code.k,
                  cycles)
         circ = SyndromeCircuit(code, num_cycles=cycles)
         for p in args.error_rates:
+            if p in results[short]:
+                log.info("  p=%g already completed (resume) — skipping", p)
+                continue
             key = compute_cache_key(code.Hx, code.Hz, code.Lx, code.Lz,
                                     cycles, p)
             matrices = load_matrices(args.cache_dir, key)
@@ -110,6 +128,10 @@ def main():
                 b_x_powers=getattr(code, "b_x_powers", None),
             )
             results[short][p] = res
+            # checkpoint after every point so an interrupted sweep resumes
+            # with --resume RUN_DIR (sweep-level resume; matrices and jit
+            # programs are already covered by their own persistent caches)
+            save_results(run_dir, results, {})
             log.info("  p=%g LER=%.4e (trials=%d, errors=%d, %.0f shots/s)",
                      p, res["logical_error_rate"], res["num_trials"],
                      res["logical_errors"], res["shots_per_sec"])
