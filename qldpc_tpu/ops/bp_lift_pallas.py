@@ -192,6 +192,25 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
 
+def viable_block_b(g: LiftedGraph, msg_dtype=jnp.bfloat16,
+                   budget_bytes: int = 48 << 20):
+    """Legal VMEM batch block for this graph, or None.
+
+    Mosaic requires the minor (batch) block dimension to be a multiple of
+    128 or the full array dimension, so the only general block size is 128;
+    a graph whose resident state (edge stack + posterior accumulators +
+    frozen output block) exceeds the budget at 128 shots cannot run this
+    kernel and must take the XLA lift path ([[288]]: ~77MB state at 128 —
+    beyond the conservative budget; smaller codes fit easily). The engine
+    consults this before selecting the kernel."""
+    dt = jnp.dtype(msg_dtype)
+    slab = g.ell * g.mm * g.T * max(dt.itemsize, 4)
+    EB, NB = len(g.eb_pb), g.NB
+    if (EB + 2 * NB) * slab * 128 <= budget_bytes:
+        return 128
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("maxIter", "clip_llr",
                                              "msg_dtype", "block_b",
                                              "interpret"))
@@ -203,18 +222,17 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
     ops.bp_lift.decode_batch_lift (damping fixed at 1.0 — the engine falls
     back to the XLA layouts for damped decoding).
 
-    block_b: shots per VMEM block; None sizes it so the resident state
-    (edge stack + posteriors + frozen output block) stays within a ~44MB
-    budget — [[288]] (T=20, ell=m=12) lands at 64, the smaller codes at
-    128."""
+    block_b: shots per VMEM block; None uses viable_block_b (which callers
+    should consult first — a graph too large for a legal block raises)."""
     B = syndrome.shape[0]
     dt = jnp.dtype(msg_dtype)
     ell, mm, T, NB, EB = g.ell, g.mm, g.T, g.NB, len(g.eb_pb)
     if block_b is None:
-        slab = ell * mm * T * max(dt.itemsize, 4)
-        block_b = 128
-        while block_b > 32 and (EB + 2 * NB) * slab * block_b > (44 << 20):
-            block_b //= 2
+        block_b = viable_block_b(g, msg_dtype)
+        if block_b is None:
+            raise ValueError(
+                "graph state exceeds the VMEM budget at the only legal "
+                "batch block (128); use ops.bp_lift.decode_batch_lift")
     Bb = min(block_b, B)
     assert B % Bb == 0, (B, Bb)
 
