@@ -69,3 +69,15 @@ def test_kernel_alpha_modes_and_blocks():
         for k in ("hard", "converged", "iterations", "values"):
             assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), (
                 mode, k)
+
+
+def test_viable_block_b_gate():
+    """The only Mosaic-legal general batch block is 128; graphs whose
+    resident state exceeds the budget must be rejected (the engine then
+    takes the XLA lift path — the [[288]] case)."""
+    from types import SimpleNamespace
+    from qldpc_tpu.ops.bp_lift_pallas import viable_block_b
+    small = SimpleNamespace(ell=12, mm=6, T=14, NB=10, eb_pb=[None] * 35)
+    assert viable_block_b(small) == 128          # [[144]]-shaped: fits
+    big = SimpleNamespace(ell=12, mm=12, T=20, NB=10, eb_pb=[None] * 35)
+    assert viable_block_b(big) is None           # [[288]]-shaped: too big
