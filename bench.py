@@ -117,6 +117,14 @@ def main():
     # closest estimate of the chip's actual capability
     windows = []
     for _ in range(3):
+        # align the window start to a round completion so execution carried
+        # over from before t0 is never credited to this window
+        while len(inflight) < 2:
+            inflight.append(fn(jax.random.fold_in(key, launched), dec_z,
+                               dec_x))
+            launched += 1
+        errs += int(jax.device_get(inflight.popleft())["any_err"].sum())
+        total_rounds += 1
         t0 = time.time()
         rounds = 0
         while time.time() - t0 < 8.0 or rounds < 3:

@@ -193,21 +193,25 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
 
 
 def viable_block_b(g: LiftedGraph, msg_dtype=jnp.bfloat16,
-                   budget_bytes: int = 48 << 20):
-    """Legal VMEM batch block for this graph, or None.
+                   budget_bytes: int = 48 << 20, B: int = None):
+    """Legal VMEM batch block for this graph (and batch size), or None.
 
     Mosaic requires the minor (batch) block dimension to be a multiple of
-    128 or the full array dimension, so the only general block size is 128;
-    a graph whose resident state (edge stack + posterior accumulators +
-    frozen output block) exceeds the budget at 128 shots cannot run this
-    kernel and must take the XLA lift path ([[288]]: ~77MB state at 128 —
-    beyond the conservative budget; smaller codes fit easily). The engine
+    128 or the full array dimension. So: block 128 whenever the resident
+    state (edge stack + posterior accumulators + frozen output block) fits
+    the budget at 128 shots and the batch divides by it; otherwise a
+    full-batch block (always shape-legal) for small batches whose state
+    fits — how the [[288]] runs at batch <= 64 operated; otherwise None
+    and the caller must take the XLA lift path ([[288]] at batch 512:
+    ~77MB state at 128 — beyond the conservative budget). The engine
     consults this before selecting the kernel."""
     dt = jnp.dtype(msg_dtype)
     slab = g.ell * g.mm * g.T * max(dt.itemsize, 4)
-    EB, NB = len(g.eb_pb), g.NB
-    if (EB + 2 * NB) * slab * 128 <= budget_bytes:
+    per_shot = (len(g.eb_pb) + 2 * g.NB) * slab
+    if per_shot * 128 <= budget_bytes and (B is None or B % 128 == 0):
         return 128
+    if B is not None and B <= 128 and per_shot * B <= budget_bytes:
+        return B
     return None
 
 
@@ -228,7 +232,7 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
     dt = jnp.dtype(msg_dtype)
     ell, mm, T, NB, EB = g.ell, g.mm, g.T, g.NB, len(g.eb_pb)
     if block_b is None:
-        block_b = viable_block_b(g, msg_dtype)
+        block_b = viable_block_b(g, msg_dtype, B=B)
         if block_b is None:
             raise ValueError(
                 "graph state exceeds the VMEM budget at the only legal "

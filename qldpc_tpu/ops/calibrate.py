@@ -169,8 +169,8 @@ def estimate_alpha_alvarado_autoregressive(
     Unlike the reference, each fitted value is R^2- and range-gated
     (see _gate_alpha): untrustworthy fits fall back to the dynamical
     schedule value for that iteration instead of poisoning the rest of the
-    sequence. Set r2_gate=-inf to reproduce the reference's ungated
-    behavior exactly."""
+    sequence. Set r2_gate=-inf AND alpha_range=(-inf, inf) to
+    reproduce the reference's ungated behavior exactly."""
     if not (0 < error_rate < 0.5):
         raise ValueError("error_rate must be in (0, 0.5)")
     if maxIter <= 0:

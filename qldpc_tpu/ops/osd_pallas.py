@@ -496,5 +496,7 @@ def pick_block_shots(m_pad: int, W: int, vmem_budget: int = 26 << 20) -> int:
     (scripts/osd_blockshots_sweep.py)."""
     W8 = _round_up(max(W, 8), 8) + (8 if _KERNEL_VERSION == 2 else 0)
     per_shot = m_pad * W8 * 4 * 2 + m_pad * 4 * 6  # 2x-buffered Hp + small
+    if _KERNEL_VERSION == 3:
+        per_shot *= 2  # dual-block interleave doubles the resident block
     s = max(1, vmem_budget // max(per_shot, 1))
     return 1 << min(5, max(0, int(np.log2(s))))

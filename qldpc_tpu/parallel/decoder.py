@@ -92,6 +92,11 @@ class BatchDecoder:
                 f"expected (N, {self.num_syn[b]}) {b}-basis syndromes, "
                 f"got {syn.shape}")
         N = syn.shape[0]
+        if N == 0:
+            k = self.bases[b].H_logical.shape[1]
+            return dict(logicals=np.zeros((0, k), np.int32),
+                        converged=np.zeros(0, bool),
+                        rank_deficient=np.zeros(0, bool))
         B = min(batch_size, max(1, N))
         pad = (-N) % B
         if pad:

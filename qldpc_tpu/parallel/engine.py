@@ -32,19 +32,20 @@ from ..ops.bp import (TannerGraph, alpha_schedule, decode_batch,
                       decode_batch_tanh)
 from ..ops.bp_lift import LiftedGraph, decode_batch_lift
 from ..ops.bp_lift_pallas import decode_batch_lift_pallas, viable_block_b
-
-
-def _pallas_bp_viable(lifted) -> bool:
-    """True when the VMEM-resident BP kernel has a Mosaic-legal batch block
-    for this graph ([[288]]'s state exceeds the budget at the only legal
-    block of 128 — it takes the XLA lift path instead)."""
-    return viable_block_b(lifted) is not None
 from ..ops.osd import choose_K, osd_batch
 from ..ops.sampler import (TrialMaps, augmented_bits, fault_bits,
                            make_trial_maps, sample_gate_randoms)
 from .mesh import shard_rounds, shot_mesh
 
 logger = logging.getLogger(__name__)
+
+
+def _pallas_bp_viable(lifted, B: int) -> bool:
+    """True when the VMEM-resident BP kernel has a Mosaic-legal batch block
+    for this graph and batch ([[288]] at production batches exceeds the
+    budget at the only legal block of 128 — it takes the XLA lift path;
+    small batches ride a full-batch block)."""
+    return viable_block_b(lifted, B=B) is not None
 
 
 def make_key(seed: int, impl: str = "rbg") -> jax.Array:
@@ -173,7 +174,7 @@ def _decode_logicals(syndrome, dec: BasisDecoder, maxIter: int,
     if bp_variant == "tanh":
         bp = decode_batch_tanh(dec.graph, syndrome, dec.prior, maxIter)
     elif dec.lifted is not None and use_pallas and damping == 1.0 \
-            and B % 128 == 0 and _pallas_bp_viable(dec.lifted):
+            and _pallas_bp_viable(dec.lifted, B):
         # VMEM-resident kernel: entire BP state on-chip for all iterations.
         # Messages stay float32 in-kernel: Mosaic miscompiles bf16 in this
         # kernel's composition (verified elementwise-correct in isolation,

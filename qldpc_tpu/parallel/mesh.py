@@ -60,7 +60,9 @@ def shard_rounds(round_fn: Callable, mesh: Optional[Mesh]) -> Callable:
                     out["any_err"].astype(jnp.int32))
             return out
 
-        return single
+        # jit the wrapper: the count must fuse into the round program, not
+        # cost extra eager dispatches on the dispatch-rate-limited chip
+        return jax.jit(single)
 
     def per_device(key, *rest):
         dev = jax.lax.axis_index(SHOT_AXIS)

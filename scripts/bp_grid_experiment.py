@@ -43,7 +43,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bp import _BIG
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+from qldpc_tpu.ops.bp import _BIG
 
 
 @dataclasses.dataclass(frozen=True)

@@ -5,6 +5,13 @@ decode_batch_grid must be bit-identical to decode_batch in float32 on CPU
 introduce ulp-level differences; perf there is traffic-bound so the grid
 layout is currently experimental/unwired (see bp_grid.py docstring).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -12,8 +19,6 @@ import jax.numpy as jnp
 from qldpc_tpu import (SyndromeCircuit, build_decoding_matrices,
                        channel_llrs, get_code)
 from qldpc_tpu.ops.bp import TannerGraph, alpha_schedule, decode_batch
-import sys, os
-sys.path.insert(0, os.path.dirname(__file__))
 from bp_grid_experiment import PeriodicGraph, decode_batch_grid
 
 
