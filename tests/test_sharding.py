@@ -111,3 +111,44 @@ def test_scanned_rounds_match_individual(round_setup):
                            shot_mesh())
     sout = jax.device_get(sharded(key))
     assert sout["any_err"].shape == (8 * 2 * 16,)
+
+
+def test_pallas_engine_path_under_mesh(monkeypatch):
+    """The full use_pallas=True engine path (VMEM lifted-BP kernel + Pallas
+    OSD eliminator, interpret mode on CPU) under the 8-device shard_map mesh
+    must reproduce the XLA path's per-shot flags exactly (both kernels are
+    bit-exact vs their XLA counterparts at float32 — tests/test_osd_pallas,
+    tests/test_bp_lift_pallas; this closes the gap that the CPU mesh tests
+    previously only ever exercised the XLA branch, engine.py:278-280)."""
+    import jax.numpy as jnp
+
+    import qldpc_tpu.ops.osd_pallas as osd_pallas
+    import qldpc_tpu.parallel.engine as eng
+
+    code = get_code("[[72, 12, 6]]")
+    circ = SyndromeCircuit(code, num_cycles=2)
+    M = build_decoding_matrices(circ, code.Lx, code.Lz, 0.01)
+    seq = alpha_schedule("dynamical", 5)
+    dz = _make_basis(circ, M, "Z", seq, osd_order=2)
+    dx = _make_basis(circ, M, "X", seq, osd_order=2)
+    kw = dict(maxIter=5, osd_order=2, msg_dtype=jnp.float32)
+    fn_xla = make_round_fn(dz, dx, circ.num_error_locs, 0.01, 16,
+                           use_pallas=False, **kw)
+    fn_pl = make_round_fn(dz, dx, circ.num_error_locs, 0.01, 16,
+                          use_pallas=True, **kw)
+
+    orig_eb = osd_pallas.eliminate_blocks
+    monkeypatch.setattr(
+        osd_pallas, "eliminate_blocks",
+        lambda *a, **k: orig_eb(*a, **{**k, "interpret": True}))
+    orig_bp = eng.decode_batch_lift_pallas
+    monkeypatch.setattr(
+        eng, "decode_batch_lift_pallas",
+        lambda *a, **k: orig_bp(*a, **{**k, "interpret": True}))
+
+    mesh = shot_mesh()
+    out_pl = jax.device_get(shard_rounds(fn_pl, mesh)(make_key(5)))
+    out_xla = jax.device_get(shard_rounds(fn_xla, mesh)(make_key(5)))
+    for k in ("z_err", "x_err", "any_err", "z_conv", "x_conv"):
+        assert np.array_equal(out_pl[k], out_xla[k]), k
+    assert int(out_pl["any_err_count"]) == int(out_pl["any_err"].sum())
