@@ -85,9 +85,12 @@ def main():
 
     import os
     maxIter, osd_order = 20, 2
-    # 512 is the measured sweet spot on v5e (smaller OSD working set;
-    # round pipelining hides per-dispatch latency at any batch)
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    # 1024 is the measured sweet spot on v5e: the round has a ~19ms fixed
+    # cost (dispatch share + in-program per-round overhead) that larger
+    # batches amortize — 512: 7.9k, 1024: 9.3k, 2048: 9.4k shots/s
+    # (within drift noise of 1024, at twice the working set and compile
+    # time), measured 2026-08-20 back-to-back.
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     seq = alpha_schedule("dynamical", maxIter)
     dec_z = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
     dec_x = _make_basis(circ, M, "X", seq, osd_order=osd_order)
