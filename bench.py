@@ -144,16 +144,30 @@ def main():
     assert 0 < errs < total_rounds * batch * rpd, \
         "decode produced degenerate flags"
 
-    # single-core baseline estimate (few trials, scalar python)
-    H = (np.asarray(M["HdecZ"]) != 0).astype(np.uint8)
-    from qldpc_tpu.models.builder import channel_llrs
-    prior = channel_llrs(M["channel_probsZ"])
-    rng = np.random.default_rng(0)
-    errs = (rng.random((2, H.shape[1])) < M["channel_probsZ"]).astype(np.int8)
-    syns = (errs @ H.T) % 2
-    py_rate = estimate_python_baseline(H, prior, syns, maxIter)
-    # a reference trial decodes BOTH bases; python measurement is one basis
-    numba_est = (py_rate / 2.0) * 75.0
+    # single-core baseline estimate (few trials, scalar python). The
+    # python rate drifts ~2x run-to-run on this shared host, which made
+    # vs_baseline noisy (475-771x across otherwise-identical runs) — so
+    # the first measurement is cached on disk and reused; delete the file
+    # to re-measure.
+    cache_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_py_baseline.json")
+    cache_key = f"[[144,12,12]]_maxIter{maxIter}"
+    try:
+        with open(cache_file) as f:
+            numba_est = json.load(f)[cache_key]
+    except (OSError, KeyError, ValueError):
+        H = (np.asarray(M["HdecZ"]) != 0).astype(np.uint8)
+        from qldpc_tpu.models.builder import channel_llrs
+        prior = channel_llrs(M["channel_probsZ"])
+        rng = np.random.default_rng(0)
+        errs = (rng.random((2, H.shape[1]))
+                < M["channel_probsZ"]).astype(np.int8)
+        syns = (errs @ H.T) % 2
+        py_rate = estimate_python_baseline(H, prior, syns, maxIter)
+        # a reference trial decodes BOTH bases; python is one basis
+        numba_est = (py_rate / 2.0) * 75.0
+        with open(cache_file, "w") as f:
+            json.dump({cache_key: numba_est}, f)
 
     print(json.dumps({
         "metric": "decoded_shots_per_sec_per_chip_[[144,12,12]]",
