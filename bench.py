@@ -3,10 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md) and
-numba is not installed here, so the single-core Numba baseline is estimated
-as (pure-python per-trial decode rate measured on this host) x 75 — the
-midpoint of the reference's own claimed 50-100x Numba speedup
-(reference src/noise/__init__.py:6). A trial = Z + X decode at maxIter=20.
+numba is not installed here, so the single-core baseline is MEASURED with a
+native C++ rendering of the reference's per-trial decode path (min-sum BP +
+OSD fallback, qldpc_tpu/native/gf2kernels.cc) on this host — validated to
+agree exactly with the JAX decoder's convergence decisions. The old
+python-rate x 75 estimate (midpoint of the reference's claimed 50-100x
+Numba speedup, reference src/noise/__init__.py:6) remains as the no-
+toolchain fallback; the measurement showed it UNDERestimated native
+single-core speed ~8x, so vs_baseline dropped accordingly. A trial = Z + X
+decode.
 """
 from __future__ import annotations
 
@@ -144,36 +149,61 @@ def main():
     assert 0 < errs < total_rounds * batch * rpd, \
         "decode produced degenerate flags"
 
-    # single-core baseline estimate (few trials, scalar python). The
-    # python rate drifts ~2x run-to-run on this shared host, which made
-    # vs_baseline noisy (475-771x across otherwise-identical runs) — so
-    # the first measurement is cached on disk and reused; delete the file
-    # to re-measure.
+    # MEASURED single-core native baseline: the C++ min-sum+OSD trial
+    # decoder (qldpc_tpu/native/gf2kernels.cc baseline_decode_trials —
+    # same decode semantics as the reference's Numba per-trial path,
+    # validated to agree exactly with the JAX decoder's convergence
+    # decisions and to satisfy every syndrome). Best-of-3 windows: the
+    # shared host's CPU throughput drifts ~2x run-to-run, and the best
+    # window is the closest estimate of actual single-core capability.
+    # Cached on disk keyed by config, merged (not clobbered) with any
+    # existing entries; delete the file to re-measure.
+    import sys
     cache_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".bench_py_baseline.json")
-    cache_key = f"[[144,12,12]]_maxIter{maxIter}"
+                              ".bench_native_baseline.json")
+    cache_key = f"[[144,12,12]]_maxIter{maxIter}_osd{osd_order}"
     try:
         with open(cache_file) as f:
-            numba_est = json.load(f)[cache_key]
-    except (OSError, KeyError, ValueError):
-        H = (np.asarray(M["HdecZ"]) != 0).astype(np.uint8)
+            cache = json.load(f)
+    except (OSError, ValueError):
+        cache = {}
+    if cache_key in cache:
+        baseline_rate = cache[cache_key]
+    else:
         from qldpc_tpu.models.builder import channel_llrs
+        from qldpc_tpu.native.build import baseline_decode_native
+        H = (np.asarray(M["HdecZ"]) != 0).astype(np.uint8)
         prior = channel_llrs(M["channel_probsZ"])
         rng = np.random.default_rng(0)
-        errs = (rng.random((2, H.shape[1]))
-                < M["channel_probsZ"]).astype(np.int8)
-        syns = (errs @ H.T) % 2
-        py_rate = estimate_python_baseline(H, prior, syns, maxIter)
-        # a reference trial decodes BOTH bases; python is one basis
-        numba_est = (py_rate / 2.0) * 75.0
+        err_patterns = (rng.random((48, H.shape[1]))
+                        < M["channel_probsZ"]).astype(np.int8)
+        syns = ((err_patterns @ H.T) % 2).astype(np.uint8)
+        num_test = (osd_order + 10) if osd_order > 0 else 0
+        rates = []
+        for _ in range(3):
+            native = baseline_decode_native(H, prior, syns, maxIter, seq,
+                                            order=osd_order,
+                                            num_test=num_test)
+            if native is None:  # no toolchain: python x75 estimate fallback
+                py = estimate_python_baseline(H, prior, syns[:2], maxIter)
+                rates.append(py * 75.0)
+                break
+            elapsed, _conv = native
+            rates.append(len(syns) / elapsed)
+        # a reference trial decodes BOTH bases; the measurement is one basis
+        baseline_rate = max(rates) / 2.0
+        cache[cache_key] = baseline_rate
         with open(cache_file, "w") as f:
-            json.dump({cache_key: numba_est}, f)
+            json.dump(cache, f)
+    print(f"baseline: measured native single-core "
+          f"{baseline_rate:.1f} trials/s (both-basis decode)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "decoded_shots_per_sec_per_chip_[[144,12,12]]",
         "value": round(shots_per_sec, 1),
         "unit": "shots/s",
-        "vs_baseline": round(shots_per_sec / numba_est, 1),
+        "vs_baseline": round(shots_per_sec / baseline_rate, 1),
     }))
 
 

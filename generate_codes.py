@@ -43,6 +43,18 @@ def main():
         path = os.path.join(args.out_dir, f"{name}.npz")
         code.save_npz(path)
         print(f"{name}: Hx {code.Hx.shape}, k={code.k} -> {path}")
+    if args.codes is None:
+        # the reference also ships codes/steane.npz (Hx/Hz only — no
+        # script loads it; /root/reference/codes/steane.npz has exactly
+        # these two keys)
+        from qldpc_tpu.parallel.code_capacity import steane_code
+        Hx, Hz, _, _ = steane_code()
+        # the reference file lists the Hamming rows most-significant-last;
+        # keep its exact row order for byte parity
+        Hx, Hz = Hx[::-1], Hz[::-1]
+        steane_path = os.path.join(args.out_dir, "steane.npz")
+        np.savez(steane_path, Hx=Hx.astype(np.int64), Hz=Hz.astype(np.int64))
+        print(f"steane: Hx {Hx.shape} -> {steane_path}")
     print("=" * 60)
     print("Done!")
 

@@ -58,6 +58,13 @@ def get_lib():
         lib.gf2_eliminate_packed.argtypes = [
             u64p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
         lib.gf2_eliminate_packed.restype = ctypes.c_int64
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.baseline_decode_trials.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p, u8p,
+            ctypes.c_int64, ctypes.c_int64, f32p, ctypes.c_float,
+            ctypes.c_int64, ctypes.c_int64, u8p, f64p, u8p]
+        lib.baseline_decode_trials.restype = ctypes.c_double
         _lib = lib
         return _lib
 
@@ -83,6 +90,39 @@ def propagate_frames_native(ops, q1, q2, basis_z: bool, op_prep: int,
         np.ascontiguousarray(inj_bit, np.int64),
         len(inj_pos), state, syn)
     return syn[:num_meas], state
+
+
+def baseline_decode_native(H, prior, syndromes, maxIter: int, alpha_seq,
+                           clip: float = 20.0, order: int = 2,
+                           num_test: int = 12, return_solutions: bool = False):
+    """Measured single-core native decode: min-sum BP + OSD-`order` fallback
+    over `syndromes` (ntrials, m). Returns (elapsed_sec, conv_flags) or None
+    if the native library is unavailable. This is the throughput baseline's
+    denominator (BASELINE.md "vs single-core Numba"): a fresh C++ rendering
+    of the reference's per-trial decode path (reference
+    src/decoding/kernels.py:234-366 + src/decoding/osd.py:5-77)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    H = np.asarray(H) != 0
+    m, n = H.shape
+    indptr = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(H.sum(axis=1), out=indptr[1:])
+    indices = np.concatenate([np.nonzero(H[i])[0] for i in range(m)]).astype(
+        np.int32)
+    syndromes = np.ascontiguousarray(syndromes, np.uint8)
+    ntrials = syndromes.shape[0]
+    conv = np.zeros(ntrials, dtype=np.uint8)
+    wsum = np.zeros(1, dtype=np.float64)
+    sol = np.zeros((ntrials, n), dtype=np.uint8)
+    elapsed = lib.baseline_decode_trials(
+        m, n, indptr, indices,
+        np.ascontiguousarray(prior, np.float32), syndromes, ntrials,
+        maxIter, np.ascontiguousarray(alpha_seq, np.float32),
+        float(clip), order, num_test, conv, wsum, sol)
+    if return_solutions:
+        return float(elapsed), conv, sol
+    return float(elapsed), conv
 
 
 def gf2_eliminate_native(A_packed: np.ndarray, s: np.ndarray, ncols: int):

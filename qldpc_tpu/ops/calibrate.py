@@ -160,8 +160,8 @@ def estimate_alpha_alvarado(H, error_rate, trials=5000, bins=50, llrs=None,
 def estimate_alpha_alvarado_autoregressive(
         H, error_rate, maxIter, trials=5000, bins=50, llrs=None, key=None,
         plot_dir: Optional[str] = None, plot_prefix: Optional[str] = None,
-        r2_gate: float = 0.85, alpha_range: Tuple[float, float] = (0.05, 1.5)
-        ) -> Tuple[np.ndarray, np.ndarray]:
+        r2_gate: float = 0.85, alpha_range: Tuple[float, float] = (0.05, 1.5),
+        return_fallbacks: bool = False):
     """Per-iteration alpha sequence: iteration k's alpha is fit from
     unscaled messages after advancing k iterations with alpha_0..k-1
     (reference alpha.py:160-276).
@@ -210,8 +210,9 @@ def estimate_alpha_alvarado_autoregressive(
             "(R^2 < %.2f or alpha outside %s) and used the dynamical "
             "schedule value instead", n_fallback, maxIter, r2_gate,
             alpha_range)
-    return (np.asarray(alphas, dtype=np.float64),
-            np.asarray(r2s, dtype=np.float64))
+    out = (np.asarray(alphas, dtype=np.float64),
+           np.asarray(r2s, dtype=np.float64))
+    return out + (n_fallback,) if return_fallbacks else out
 
 
 def estimate_scopt_beta(H, error_rate, trials=10000, bins=50, alpha=1.0,

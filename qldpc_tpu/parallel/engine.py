@@ -352,7 +352,7 @@ def run_simulation(
     Hx, Hz, Lx, Lz, error_rate, num_trials=1000, num_cycles=12,
     maxIter=50, osd_order=0, use_dynamic_alpha=True,
     alpha_mode=None, alvarado_alpha=None,
-    alpha_estimation_trials=5000, alpha_estimation_bins=50,
+    alpha_estimation_trials=None, alpha_estimation_bins=50,
     precomputed_matrices=None, num_workers=None, base_seed=None,
     use_jit=True,
     target_logical_errors=None, max_trials=None, scopt=False,
@@ -419,20 +419,24 @@ def run_simulation(
                                  matrices["HdecZ"].shape[1], error_rate)
         trials_x = _calib_trials(alpha_estimation_trials,
                                  matrices["HdecX"].shape[1], error_rate)
-        av_z, r2v_z = calibrate.estimate_alpha_alvarado_autoregressive(
+        av_z, r2v_z, fb_z = calibrate.estimate_alpha_alvarado_autoregressive(
             matrices["HdecZ"], error_rate, maxIter, trials=trials_z,
             bins=alpha_estimation_bins, llrs=llrs_z,
             key=jax.random.key(base_seed + 1),
             plot_dir=estimation_plot_dir,
-            plot_prefix=f"autoregressive_{_fmt(error_rate)}_z")
-        av_x, r2v_x = calibrate.estimate_alpha_alvarado_autoregressive(
+            plot_prefix=f"autoregressive_{_fmt(error_rate)}_z",
+            return_fallbacks=True)
+        av_x, r2v_x, fb_x = calibrate.estimate_alpha_alvarado_autoregressive(
             matrices["HdecX"], error_rate, maxIter, trials=trials_x,
             bins=alpha_estimation_bins, llrs=llrs_x,
             key=jax.random.key(base_seed + 2),
             plot_dir=estimation_plot_dir,
-            plot_prefix=f"autoregressive_{_fmt(error_rate)}_x")
+            plot_prefix=f"autoregressive_{_fmt(error_rate)}_x",
+            return_fallbacks=True)
         result_extra.update(alpha_values_z=av_z, alpha_values_x=av_x,
-                            alpha_r2_values_z=r2v_z, alpha_r2_values_x=r2v_x)
+                            alpha_r2_values_z=r2v_z, alpha_r2_values_x=r2v_x,
+                            n_alpha_fallbacks_z=fb_z, n_alpha_fallbacks_x=fb_x,
+                            n_alpha_fallbacks=fb_z + fb_x)
         seq_z = alpha_schedule("alvarado-autoregressive", maxIter, av_z)
         seq_x = alpha_schedule("alvarado-autoregressive", maxIter, av_x)
     elif alpha_mode == "dynamical":
@@ -441,8 +445,8 @@ def run_simulation(
         raise ValueError(f"Unsupported alpha_mode: {alpha_mode}")
 
     if scopt:
-        trials_z = _calib_trials(5000, matrices["HdecZ"].shape[1], error_rate)
-        trials_x = _calib_trials(5000, matrices["HdecX"].shape[1], error_rate)
+        trials_z = _calib_trials(None, matrices["HdecZ"].shape[1], error_rate)
+        trials_x = _calib_trials(None, matrices["HdecX"].shape[1], error_rate)
         beta_z, br2z = calibrate.estimate_scopt_beta(
             matrices["HdecZ"], error_rate, trials=trials_z,
             bins=alpha_estimation_bins,
@@ -601,11 +605,14 @@ def tot_errs_target(target: int, already: int) -> int:
     return max(0, target - already)
 
 
-def _calib_trials(requested: int, n: int, p: float) -> int:
-    """Reference's dynamic trial-count rule (engine.py:236-244): override
-    the default 5000 with max(500, min(50000, 2000/(n*p)))."""
-    dynamic = max(500, min(50000, int(2000 / (n * p))))
-    return requested if requested != 5000 else dynamic
+def _calib_trials(requested: Optional[int], n: int, p: float) -> int:
+    """Reference's dynamic trial-count rule (engine.py:236-244):
+    alpha_estimation_trials=None (the default) selects
+    max(500, min(50000, 2000/(n*p))); an explicit integer is honored
+    verbatim."""
+    if requested is not None:
+        return requested
+    return max(500, min(50000, int(2000 / (n * p))))
 
 
 def _fmt(rate: float) -> str:
