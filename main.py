@@ -22,6 +22,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
+from qldpc_tpu.parallel.mesh import distributed_init_from_env
+
+# multi-host: QLDPC_COORDINATOR/QLDPC_NUM_PROCESSES/QLDPC_PROCESS_ID select
+# a jax.distributed cluster; must run before any device use (no-op if unset)
+distributed_init_from_env()
+
 from qldpc_tpu import CODE_REGISTRY, get_code
 from qldpc_tpu.models.bb import BBCode
 from qldpc_tpu.models.circuit import SyndromeCircuit
@@ -79,6 +85,10 @@ def main():
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s",
                         datefmt="%H:%M:%S")
     log = logging.getLogger("driver")
+    import jax
+    # on a multi-host cluster every process runs the sweep loop (SPMD), but
+    # only process 0 writes artifacts
+    is_main = getattr(jax, "process_index", lambda: 0)() == 0
     if args.resume:
         run_dir = args.resume
         est_dir = os.path.join(run_dir, "estimation_plots")
@@ -131,11 +141,14 @@ def main():
             # checkpoint after every point so an interrupted sweep resumes
             # with --resume RUN_DIR (sweep-level resume; matrices and jit
             # programs are already covered by their own persistent caches)
-            save_results(run_dir, results, {})
+            if is_main:
+                save_results(run_dir, results, {})
             log.info("  p=%g LER=%.4e (trials=%d, errors=%d, %.0f shots/s)",
                      p, res["logical_error_rate"], res["num_trials"],
                      res["logical_errors"], res["shots_per_sec"])
 
+    if not is_main:
+        return
     plot_simulation_results(results, os.path.join(run_dir,
                                                   "simulation_results.png"))
     alpha_r2 = {}

@@ -20,7 +20,7 @@ from ..models import gf2
 from ..ops.bp import TannerGraph, alpha_schedule, decode_batch
 from ..ops.osd import choose_K, osd_batch
 from .engine import make_key
-from .mesh import shard_rounds, shot_mesh
+from .mesh import make_flag_gather, shard_rounds, shot_mesh
 
 
 def run_code_capacity(
@@ -91,16 +91,27 @@ def run_code_capacity(
         shot_mesh() if len(jax.devices()) > 1 else None)
     n_dev = len(mesh.devices.ravel()) if mesh is not None else 1
     sharded = shard_rounds(jax.jit(round_fn), mesh)
+    gather = make_flag_gather(mesh)
     key = make_key(base_seed)
     fails = conv = shots = 0
     t0 = time.time()
     rnd = 0
     while shots < num_shots:
-        out = jax.device_get(sharded(jax.random.fold_in(key, rnd)))
+        out = sharded(jax.random.fold_in(key, rnd))
         rnd += 1
         take = min(batch_size * n_dev, num_shots - shots)
-        fails += int(out["fail"][:take].sum())
-        conv += int(out["conv"][:take].sum())
+        if take < batch_size * n_dev:
+            # truncated final round: per-shot prefix via replicated gather
+            # (multi-host safe); full rounds use the psum scalar counts
+            g = jax.device_get(gather(
+                {k: v for k, v in out.items() if not k.endswith("_count")}))
+            fails += int(g["fail"][:take].sum())
+            conv += int(g["conv"][:take].sum())
+        else:
+            counts = jax.device_get({k: out[k] for k in
+                                     ("fail_count", "conv_count")})
+            fails += int(counts["fail_count"])
+            conv += int(counts["conv_count"])
         shots += take
     dt = time.time() - t0
     return dict(logical_error_rate=fails / shots,

@@ -35,7 +35,7 @@ from ..ops.bp_lift_pallas import decode_batch_lift_pallas, viable_block_b
 from ..ops.osd import choose_K, osd_batch
 from ..ops.sampler import (TrialMaps, augmented_bits, fault_bits,
                            make_trial_maps, sample_gate_randoms)
-from .mesh import shard_rounds, shot_mesh
+from .mesh import make_flag_gather, replicate, shard_rounds, shot_mesh
 
 logger = logging.getLogger(__name__)
 
@@ -323,7 +323,9 @@ def make_scanned_round_fn(round_fn, n_rounds: int):
             return carry, round_fn(jax.random.fold_in(key, i), *rest)
 
         _, outs = jax.lax.scan(body, (), idx)
-        return {k: v.reshape((-1,) + v.shape[2:]) for k, v in outs.items()}
+        # flatten the stacked round axis on every leaf (works for the
+        # single-code dict and the multi-code list-of-dicts alike)
+        return jax.tree.map(lambda v: v.reshape((-1,) + v.shape[2:]), outs)
 
     return scanned
 
@@ -368,6 +370,12 @@ def run_simulation(
     del num_workers, use_jit
     if base_seed is None:
         base_seed = int(np.random.randint(0, 2**31))
+    if getattr(jax, "process_count", lambda: 1)() > 1:
+        # multi-host: every process must trace the identical computation, so
+        # the seed (and hence calibration and round RNG) comes from proc 0
+        from jax.experimental import multihost_utils
+        base_seed = int(multihost_utils.broadcast_one_to_all(
+            np.int64(base_seed)))
 
     code = make_code(Hx, Hz, Lx, Lz, **bb_params)
     circ = SyndromeCircuit(code, num_cycles=num_cycles)
@@ -502,7 +510,12 @@ def run_simulation(
     if rounds_per_dispatch > 1:
         round_fn = make_scanned_round_fn(round_fn, rounds_per_dispatch)
     sharded = shard_rounds(jax.jit(round_fn), mesh)
+    gather_flags = make_flag_gather(mesh)
     round_shots = batch_size * n_dev * rounds_per_dispatch
+    # commit the decode bundles to a replicated mesh layout once: avoids
+    # per-dispatch transfers, and on a multi-host mesh it is the only legal
+    # way to feed them (per-process arrays are not globally addressable)
+    dec_z, dec_x = replicate((dec_z, dec_x), mesh)
 
     key = make_key(base_seed)
     z_errs = x_errs = tot_errs = trials_run = 0
@@ -534,29 +547,47 @@ def run_simulation(
             inflight.append(sharded(jax.random.fold_in(key, round_idx),
                                     dec_z, dec_x))
             round_idx += 1
-        flags = jax.device_get(inflight.popleft())
+        flags = inflight.popleft()  # device-resident; flag vectors stay
+        # sharded on the mesh and are NEVER fetched in steady state — the
+        # stopping loop consumes only the psum-reduced replicated scalar
+        # counts (4 bytes each), which every process of a multi-host run
+        # can legally read
+        counts = {k: int(v) for k, v in jax.device_get(
+            {k: v for k, v in flags.items() if k.endswith("_count")}).items()}
+        round_count = counts["any_err_count"]
         take = min(round_shots, max_trials - trials_run)
-        # whole-round error count, psum-reduced across the mesh on device
-        # (mesh.py shard_rounds); the per-shot cumsum below is only touched
-        # in the round that actually crosses the stopping target
-        round_count = int(flags.get("any_err_count",
-                                    np.asarray(flags["any_err"]).sum()))
-        z = np.asarray(flags["z_err"][:take])
-        x = np.asarray(flags["x_err"][:take])
-        a = np.asarray(flags["any_err"][:take])
-        if stop_on_errors and tot_errs + round_count >= target_logical_errors:
-            cum = np.cumsum(a)
-            crossing = np.searchsorted(cum, tot_errs_target(
-                target_logical_errors, tot_errs))
-            if cum.size and cum[-1] + tot_errs >= target_logical_errors:
-                take = int(crossing) + 1
-                z, x, a = z[:take], x[:take], a[:take]
+        crossing = (stop_on_errors
+                    and tot_errs + round_count >= target_logical_errors)
+        if crossing or take < round_shots:
+            # the round that crosses the stopping target (or a final round
+            # truncated by max_trials) needs per-shot flags in global shot
+            # order to reproduce the reference's exact sequential rule; an
+            # explicit jitted all-gather makes them replicated, hence
+            # addressable from every process
+            g = jax.device_get(gather_flags(
+                {k: v for k, v in flags.items()
+                 if not k.endswith("_count")}))
+            z = np.asarray(g["z_err"][:take])
+            x = np.asarray(g["x_err"][:take])
+            a = np.asarray(g["any_err"][:take])
+            if crossing:
+                cum = np.cumsum(a)
+                cross_idx = np.searchsorted(cum, tot_errs_target(
+                    target_logical_errors, tot_errs))
+                if cum.size and cum[-1] + tot_errs >= target_logical_errors:
+                    take = int(cross_idx) + 1
+                    z, x, a = z[:take], x[:take], a[:take]
+            z_inc, x_inc, a_inc = int(z.sum()), int(x.sum()), int(a.sum())
+            rd = (int(np.asarray(g["z_rankdef"][:take]).sum())
+                  + int(np.asarray(g["x_rankdef"][:take]).sum()))
+        else:
+            z_inc, x_inc = counts["z_err_count"], counts["x_err_count"]
+            a_inc = round_count
+            rd = counts["z_rankdef_count"] + counts["x_rankdef_count"]
         trials_run += take
-        z_errs += int(z.sum())
-        x_errs += int(x.sum())
-        tot_errs += int(a.sum())
-        rd = (int(np.asarray(flags["z_rankdef"][:take]).sum())
-              + int(np.asarray(flags["x_rankdef"][:take]).sum()))
+        z_errs += z_inc
+        x_errs += x_inc
+        tot_errs += a_inc
         if rd:
             rankdef_seen += rd
             logger.warning(

@@ -1,0 +1,94 @@
+"""Same-session maxIter throughput sweep on the bench config.
+
+Rationale (round-2 finding): OSD costs ~16ms/basis at ~82% unconverged
+while BP iterations in the VMEM kernel are nearly free, so raising maxIter
+(reference engine default is 50; the bench ran 20) should trade cheap BP
+iterations for expensive OSD invocations. This measures throughput AND the
+unconverged fraction per maxIter in one session, pipelined like bench.py.
+
+Usage: python scripts/maxiter_sweep.py [maxIters...] (default 20 30 50)
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from collections import deque
+
+import jax
+
+from qldpc_tpu import SyndromeCircuit, get_code, build_decoding_matrices
+from qldpc_tpu.ops.bp import alpha_schedule
+from qldpc_tpu.parallel.engine import (_make_basis, make_key, make_round_fn,
+                                       make_scanned_round_fn)
+from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
+                                     save_matrices)
+
+
+def measure(fn, key, batch, rpd, seconds=6.0):
+    inflight = deque()
+    launched = 0
+    conv = tot = 0
+
+    def pump():
+        nonlocal launched
+        while len(inflight) < 2:
+            inflight.append(fn(jax.random.fold_in(key, launched)))
+            launched += 1
+
+    pump()
+    out = jax.device_get(inflight.popleft())  # compile + warm
+    t0 = time.time()
+    rounds = 0
+    while time.time() - t0 < seconds or rounds < 3:
+        pump()
+        out = jax.device_get(inflight.popleft())
+        conv += int(out["z_conv"].sum()) + int(out["x_conv"].sum())
+        tot += out["z_conv"].size + out["x_conv"].size
+        rounds += 1
+    dt = time.time() - t0
+    return rounds * batch * rpd / dt, 1.0 - conv / tot
+
+
+def main():
+    maxiters = [int(a) for a in sys.argv[1:]] or [20, 30, 50]
+    code = get_code("[[144, 12, 12]]")
+    cycles, p, batch, rpd, osd_order = 12, 0.004, 1024, 4, 2
+    circ = SyndromeCircuit(code, num_cycles=cycles)
+    key_c = compute_cache_key(code.Hx, code.Hz, code.Lx, code.Lz, cycles, p)
+    M = load_matrices("matrix_cache", key_c)
+    if M is None:
+        M = build_decoding_matrices(circ, code.Lx, code.Lz, p)
+        save_matrices("matrix_cache", key_c, M)
+
+    key = make_key(0)
+    fns = {}
+    for mi in maxiters:
+        seq = alpha_schedule("dynamical", mi)
+        dz = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
+        dx = _make_basis(circ, M, "X", seq, osd_order=osd_order)
+        base = make_round_fn(dz, dx, circ.num_error_locs, p, batch, mi,
+                             osd_order)
+        fns[mi] = jax.jit(make_scanned_round_fn(base, rpd))
+
+    # two interleaved passes so chip drift hits all configs equally
+    results = {mi: [] for mi in maxiters}
+    uncs = {}
+    for _ in range(2):
+        for mi in maxiters:
+            rate, unc = measure(fns[mi], key, batch, rpd)
+            results[mi].append(rate)
+            uncs[mi] = unc
+            print(f"maxIter={mi}: {rate:8.1f} shots/s  "
+                  f"unconverged={unc:.3f}", flush=True)
+    print("\nbest-of-2 per config:")
+    for mi in maxiters:
+        print(f"maxIter={mi}: {max(results[mi]):8.1f} shots/s  "
+              f"unconverged={uncs[mi]:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,12 @@
 """BASELINE config 3 on hardware: [[90,8,10]] + [[108,8,10]] decoded in ONE
 jitted launch (engine.make_multi_code_round_fn).
 
+Applies the same levers as the single-code bench (batch 1024, scan-fused
+rounds per dispatch, 2 launches in flight) — round 2 ran this at batch 256
+serial and measured 1,818 shots/s/code vs 9,283 single-code.
+
 Prints one JSON line with per-code and combined decoded shots/s.
-Usage: python scripts/multicode_bench.py [batch] [reps]
+Usage: python scripts/multicode_bench.py [batch] [rpd] [seconds]
 """
 import json
 import os
@@ -25,8 +29,9 @@ from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    rpd = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 8.0
     p, maxIter, osd_order = 0.004, 20, 2
     specs, decs = [], []
     for name in ("[[90, 8, 10]]", "[[108, 8, 10]]"):
@@ -46,19 +51,41 @@ def main():
                           osd_order=osd_order))
         decs.append((dz, dx))
 
-    fn = jax.jit(make_multi_code_round_fn(specs))
+    from collections import deque
+
+    from qldpc_tpu.parallel.engine import make_scanned_round_fn
+
+    base = make_multi_code_round_fn(specs)
+    fn = jax.jit(base if rpd == 1 else make_scanned_round_fn(base, rpd))
     key = make_key(0)
     outs = jax.device_get(fn(key, decs))  # compile + warm
     lers = [float(np.asarray(o["any_err"]).mean()) for o in outs]
-    t0 = time.time()
-    for r in range(reps):
-        outs = jax.device_get(fn(jax.random.fold_in(key, r), decs))
-    dt = (time.time() - t0) / reps
-    per_code = batch / dt
+
+    inflight = deque()
+    launched = 0
+
+    def pump():
+        nonlocal launched
+        while len(inflight) < 2:
+            inflight.append(fn(jax.random.fold_in(key, launched), decs))
+            launched += 1
+
+    # best-of-3 windows (chip throughput drifts; CLAUDE.md)
+    windows = []
+    for _ in range(3):
+        pump()
+        jax.device_get(inflight.popleft())  # align to a round boundary
+        t0 = time.time()
+        rounds = 0
+        while time.time() - t0 < seconds or rounds < 3:
+            pump()
+            jax.device_get(inflight.popleft())
+            rounds += 1
+        windows.append(rounds * batch * rpd / (time.time() - t0))
+    per_code = max(windows)
     print(json.dumps({
         "metric": "multi_code_single_launch_[[90]]+[[108]]",
-        "p": p, "batch_per_code": batch,
-        "launch_ms": round(dt * 1e3, 2),
+        "p": p, "batch_per_code": batch, "rounds_per_dispatch": rpd,
         "shots_per_sec_per_code": round(per_code, 1),
         "shots_per_sec_combined": round(2 * per_code, 1),
         "ler_sanity": [round(l, 4) for l in lers],

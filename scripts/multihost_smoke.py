@@ -1,0 +1,173 @@
+"""Multi-host validation: exact stopping equivalence on a REAL 2-process
+jax.distributed CPU cluster.
+
+The engine claims multi-host support (parallel/mesh.py): the steady-state
+stopping loop consumes only psum-reduced replicated counts, per-shot flags
+are all-gathered solely in the crossing round, and the base seed is
+broadcast from process 0. This script proves it end to end:
+
+1. Runs run_simulation single-process on an 8-virtual-device CPU mesh.
+2. Spawns TWO OS processes, each with 4 virtual CPU devices, joined into
+   one jax.distributed cluster (global mesh = the same 8 devices), and
+   runs the identical simulation.
+3. Asserts BOTH processes finish, agree with each other, and reproduce the
+   single-process result EXACTLY (num_trials, logical_errors, z/x counts) —
+   the per-device fold_in RNG makes results a function of the global mesh,
+   not the process layout.
+
+Usage:  python scripts/multihost_smoke.py           # parent (orchestrates)
+        (children are spawned internally with --child)
+Writes MULTIHOST.json at the repo root with the verdict.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIG = dict(code="[[72, 12, 6]]", error_rate=0.006, num_cycles=6,
+              maxIter=8, osd_order=1, batch_size=32, base_seed=42,
+              target_logical_errors=25, max_trials=2000)
+
+
+def child_env(extra):
+    env = dict(os.environ)
+    env.update(
+        QLDPC_TEST_REEXEC="1", PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+    )
+    env.update(extra)
+    return env
+
+
+def run_child(n_virtual: int, dist: dict, out_path: str):
+    extra = {"XLA_FLAGS": f"--xla_force_host_platform_device_count={n_virtual}"}
+    extra.update({k: str(v) for k, v in dist.items()})
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         "--out", out_path],
+        env=child_env(extra), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+def child_main(out_path: str):
+    sys.path.insert(0, REPO)
+    from qldpc_tpu.parallel.mesh import distributed_init_from_env
+    initialized = distributed_init_from_env()
+    import jax
+    from qldpc_tpu import SyndromeCircuit, get_code
+    from qldpc_tpu.models.builder import build_decoding_matrices
+    from qldpc_tpu.parallel.engine import run_simulation
+    from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
+                                         save_matrices)
+
+    cfg = CONFIG
+    code = get_code(cfg["code"])
+    circ = SyndromeCircuit(code, num_cycles=cfg["num_cycles"])
+    key = compute_cache_key(code.Hx, code.Hz, code.Lx, code.Lz,
+                            cfg["num_cycles"], cfg["error_rate"])
+    cache_dir = os.path.join("/tmp", "qldpc_mh_cache")
+    M = load_matrices(cache_dir, key)
+    if M is None:
+        M = build_decoding_matrices(circ, code.Lx, code.Lz, cfg["error_rate"])
+        if not initialized or jax.process_index() == 0:
+            save_matrices(cache_dir, key, M)
+    res = run_simulation(
+        code.Hx, code.Hz, code.Lx, code.Lz, cfg["error_rate"],
+        num_cycles=cfg["num_cycles"], maxIter=cfg["maxIter"],
+        osd_order=cfg["osd_order"], alpha_mode="dynamical",
+        target_logical_errors=cfg["target_logical_errors"],
+        max_trials=cfg["max_trials"], base_seed=cfg["base_seed"],
+        batch_size=cfg["batch_size"], precomputed_matrices=M,
+        verbose=False,
+        ell=code.ell, m=code.m, a_x_powers=code.a_x_powers,
+        a_y_powers=code.a_y_powers, b_y_powers=code.b_y_powers,
+        b_x_powers=code.b_x_powers)
+    out = dict(
+        process_index=jax.process_index() if initialized else 0,
+        process_count=jax.process_count() if initialized else 1,
+        num_devices=res["num_devices"],
+        num_trials=res["num_trials"],
+        logical_errors=res["logical_errors"],
+        z_errors=round(res["z_logical_error_rate"] * res["num_trials"]),
+        x_errors=round(res["x_logical_error_rate"] * res["num_trials"]),
+        logical_error_rate=res["logical_error_rate"],
+    )
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print("child result:", json.dumps(out), flush=True)
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.child:
+        child_main(args.out)
+        return
+
+    os.makedirs("/tmp/qldpc_mh", exist_ok=True)
+    # 1) single-process reference on 8 virtual devices
+    ref_path = "/tmp/qldpc_mh/single.json"
+    p = run_child(8, {}, ref_path)
+    out, _ = p.communicate(timeout=1200)
+    if p.returncode != 0:
+        print(out)
+        raise SystemExit("single-process reference run failed")
+    ref = json.load(open(ref_path))
+    print("single-process:", json.dumps(ref))
+
+    # 2) 2-process cluster, 4 virtual devices each (global mesh: 8)
+    port = free_port()
+    paths, procs = [], []
+    for i in range(2):
+        path = f"/tmp/qldpc_mh/proc{i}.json"
+        paths.append(path)
+        procs.append(run_child(4, {
+            "QLDPC_COORDINATOR": f"localhost:{port}",
+            "QLDPC_NUM_PROCESSES": 2,
+            "QLDPC_PROCESS_ID": i,
+        }, path))
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for i, p in enumerate(procs):
+        if p.returncode != 0:
+            print(f"--- process {i} output ---\n{outs[i]}")
+            raise SystemExit(f"cluster process {i} failed")
+    r0, r1 = (json.load(open(path)) for path in paths)
+    print("cluster proc0:  ", json.dumps(r0))
+    print("cluster proc1:  ", json.dumps(r1))
+
+    def stats(r):
+        return (r["num_trials"], r["logical_errors"], r["z_errors"],
+                r["x_errors"])
+
+    ok = (r0["process_count"] == 2 and r1["process_count"] == 2
+          and r0["num_devices"] == 8 and ref["num_devices"] == 8
+          and stats(r0) == stats(r1) == stats(ref))
+    verdict = dict(ok=bool(ok), single=ref, proc0=r0, proc1=r1,
+                   config=CONFIG)
+    with open(os.path.join(REPO, "MULTIHOST.json"), "w") as f:
+        json.dump(verdict, f, indent=2)
+    print("MULTIHOST ok =", ok)
+    if not ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,8 @@ import jax
 from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, get_code
 from qldpc_tpu.ops.bp import alpha_schedule
 from qldpc_tpu.parallel.engine import _make_basis, make_key, make_round_fn
-from qldpc_tpu.parallel.mesh import SHOT_AXIS, shard_rounds, shot_mesh
+from qldpc_tpu.parallel.mesh import (SHOT_AXIS, make_flag_gather,
+                                     shard_rounds, shot_mesh)
 
 
 @pytest.fixture(scope="module")
@@ -42,13 +43,30 @@ def test_sharded_round_shapes_and_decorrelation(round_setup):
 
 
 def test_psum_error_count_matches_flags(round_setup):
-    """The on-device psum error count (mesh.py shard_rounds) must equal the
-    sum of the gathered per-shot flags, on both the mesh and the
-    single-device paths."""
+    """The on-device psum counts (mesh.py shard_rounds) must equal the sums
+    of the gathered per-shot flags for EVERY counted key, on both the mesh
+    and the single-device paths — the engine's multi-host steady-state
+    stopping loop reads nothing but these scalars."""
     for mesh in (shot_mesh(), None):
         sharded = shard_rounds(round_setup, mesh)
         out = jax.device_get(sharded(make_key(3)))
-        assert int(out["any_err_count"]) == int(out["any_err"].sum())
+        for k in ("any_err", "z_err", "x_err", "z_rankdef", "x_rankdef"):
+            assert int(out[k + "_count"]) == int(out[k].sum()), k
+
+
+def test_flag_gather_replicates_flags(round_setup):
+    """make_flag_gather must return the identical per-shot flag vectors in
+    a fully-replicated layout (the crossing-round path of the multi-host
+    engine; on one process the values must simply round-trip)."""
+    mesh = shot_mesh()
+    sharded = shard_rounds(round_setup, mesh)
+    out = sharded(make_key(5))
+    flags = {k: v for k, v in out.items() if not k.endswith("_count")}
+    gathered = make_flag_gather(mesh)(flags)
+    for k in flags:
+        assert gathered[k].sharding.is_fully_replicated, k
+        np.testing.assert_array_equal(np.asarray(gathered[k]),
+                                      np.asarray(flags[k]), err_msg=k)
 
 
 def test_stopping_with_uneven_trials_and_fused_rounds():
