@@ -89,7 +89,14 @@ def main():
         save_matrices("matrix_cache", key_c, M)
 
     import os
-    maxIter, osd_order = 20, 2
+    # maxIter 50 = the reference ENGINE's own default (reference
+    # engine.py:196; its driver main.py:44 sets 20). Measured same-session
+    # on v5e (scripts/maxiter_sweep.py, 2026-08-21): 20 -> 9,140 shots/s at
+    # 80.6% unconverged; 30 -> 9,988 at 67.5%; 50 -> 10,735 at 50.1% — BP
+    # iterations in the VMEM kernel are ~3 orders cheaper than the OSD
+    # calls they avoid. LER at mi50 is the configuration the archives were
+    # produced with (VALIDATION.md).
+    maxIter, osd_order = int(os.environ.get("BENCH_MAXITER", "50")), 2
     # 1024 is the measured sweet spot on v5e: the round has a ~19ms fixed
     # cost (dispatch share + in-program per-round overhead) that larger
     # batches amortize — 512: 7.9k, 1024: 9.3k, 2048: 9.4k shots/s

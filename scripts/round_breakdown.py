@@ -54,7 +54,8 @@ def main():
     p = float(sys.argv[2]) if len(sys.argv) > 2 else 0.004
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     nfl = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-    maxIter, osd_order = 20, 2
+    maxIter = int(os.environ.get("RB_MAXITER", "20"))
+    osd_order = 2
     code = get_code(name)
     cycles = code.distance
     circ = SyndromeCircuit(code, num_cycles=cycles)

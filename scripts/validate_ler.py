@@ -61,6 +61,13 @@ def main():
     ap.add_argument("--codes", nargs="*", default=None)
     ap.add_argument("--alpha-mode", default="dynamical",
                     choices=list(BASELINE_POINTS))
+    ap.add_argument("--max-iter", type=int, default=20,
+                    help="BP maxIter. NOTE the archives were produced at the "
+                         "reference ENGINE default 50 (reference "
+                         "engine.py:196; VALIDATION.md root-caused the "
+                         "[[90]] z=+3.0 offset to running 20 here), so 50 "
+                         "is the config-parity setting; 20 matches the "
+                         "reference driver main.py:44.")
     ap.add_argument("--out", default="validation_results.json")
     args = ap.parse_args()
 
@@ -80,7 +87,7 @@ def main():
         t0 = time.time()
         res = run_simulation(
             code.Hx, code.Hz, code.Lx, code.Lz, p, num_cycles=cycles,
-            maxIter=20, osd_order=2, alpha_mode=args.alpha_mode,
+            maxIter=args.max_iter, osd_order=2, alpha_mode=args.alpha_mode,
             precomputed_matrices=M,
             target_logical_errors=args.target_errors,
             max_trials=args.max_trials, batch_size=args.batch_size,
@@ -93,7 +100,8 @@ def main():
         sig = np.sqrt(max(ler * (1 - ler) / max(nt, 1), 1e-12))
         ref_sig = np.sqrt(ref_ler * (1 - ref_ler) / ref_tr)
         z = (ler - ref_ler) / np.sqrt(sig**2 + ref_sig**2)
-        row = dict(code=name, p=p, alpha_mode=args.alpha_mode, ler=ler,
+        row = dict(code=name, p=p, alpha_mode=args.alpha_mode,
+                   maxIter=args.max_iter, ler=ler,
                    errors=ne, trials=nt,
                    ref_ler=ref_ler, z_score=round(float(z), 2),
                    shots_per_sec=round(res["shots_per_sec"], 1),

@@ -125,3 +125,14 @@ def test_multi_code_single_launch():
     assert len(outs) == 2
     for out in outs:
         assert out["any_err"].shape == (8,)
+    # scan fusion composes with the multi-code (list-of-dicts) output and
+    # fused round i reproduces an individual launch with the folded key
+    from qldpc_tpu.parallel.engine import make_scanned_round_fn
+    fused = jax.jit(make_scanned_round_fn(make_multi_code_round_fn(specs), 3))
+    key = make_key(0)
+    fouts = jax.device_get(fused(key, decs))
+    assert len(fouts) == 2
+    one = jax.device_get(fn(jax.random.fold_in(key, 1), decs))
+    for o1, fout in zip(one, fouts):
+        assert fout["any_err"].shape == (24,)
+        np.testing.assert_array_equal(fout["any_err"][8:16], o1["any_err"])
