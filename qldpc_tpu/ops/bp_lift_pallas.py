@@ -210,7 +210,13 @@ def viable_block_b(g: LiftedGraph, msg_dtype=jnp.bfloat16,
     per_shot = (len(g.eb_pb) + 2 * g.NB) * slab
     if per_shot * 128 <= budget_bytes and (B is None or B % 128 == 0):
         return 128
-    if B is not None and B <= 128 and per_shot * B <= budget_bytes:
+    # Sub-128 full-batch blocks pay for 128 shots anyway: the batch rides
+    # the minor (lane) axis, which Mosaic pads to a full 128-lane tile —
+    # measured on v5e: a 64-shot [[288]] whole-batch call allocates 179MB
+    # (the 128-padded state + double-buffered windows), exceeding the
+    # chip's 128MB VMEM (scripts/bp288_chunked_ab.py). So the small-batch
+    # branch must budget at the PADDED width.
+    if B is not None and B <= 128 and per_shot * 128 <= budget_bytes:
         return B
     return None
 

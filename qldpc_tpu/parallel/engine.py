@@ -40,25 +40,15 @@ from .mesh import make_flag_gather, replicate, shard_rounds, shot_mesh
 logger = logging.getLogger(__name__)
 
 
-def _pallas_bp_chunk(lifted, B: int):
-    """Sub-batch size for running the VMEM BP kernel under lax.map when the
-    full batch has no Mosaic-legal block (the minor block dim must be a
-    multiple of 128 or the FULL dimension, so a big graph whose state
-    exceeds the budget at 128 shots — [[288]] at production batches — can
-    still ride the kernel as whole-batch calls of 64/32 shots). Returns
-    None when even the smallest chunk does not fit."""
-    for c in (64, 32):
-        if B % c == 0 and viable_block_b(lifted, B=c) == c:
-            return c
-    return None
-
-
 def _pallas_bp_viable(lifted, B: int) -> bool:
-    """True when the VMEM-resident BP kernel can serve this graph and batch
-    — either with a native Mosaic-legal batch block, or chunked under
-    lax.map (_pallas_bp_chunk)."""
-    return (viable_block_b(lifted, B=B) is not None
-            or _pallas_bp_chunk(lifted, B) is not None)
+    """True when the VMEM-resident BP kernel has a Mosaic-legal batch block
+    whose state fits VMEM for this graph and batch. [[288]] fits at NO
+    batch on v5e: the batch rides the minor (lane) axis, which Mosaic pads
+    to 128, so even a whole-batch 64-shot call costs 128 shots of VMEM —
+    measured 179MB vs the chip's 128MB (scripts/bp288_chunked_ab.py, the
+    sub-batch lax.map idea's negative result). Such graphs take the XLA
+    lift path."""
+    return viable_block_b(lifted, B=B) is not None
 
 
 def make_key(seed: int, impl: str = "rbg") -> jax.Array:
@@ -194,24 +184,10 @@ def _decode_logicals(syndrome, dec: BasisDecoder, maxIter: int,
         # wrong composed — see bp_lift_pallas.py docstring), and the
         # VMEM-resident iteration is compute-bound, so bf16 buys nothing
         # (measured 36.5ms vs f32 34.5ms on [[144]] B=512).
-        if viable_block_b(dec.lifted, B=B) is not None:
-            bp = decode_batch_lift_pallas(dec.lifted, syndrome, dec.prior,
-                                          dec.alpha_seq, maxIter,
-                                          clip_llr=clip_llr,
-                                          msg_dtype=jnp.float32)
-        else:
-            # graph too large for a legal block at this batch ([[288]] at
-            # production B): run whole-batch kernel calls of `c` shots
-            # under lax.map — each call's full-dim batch block is always
-            # Mosaic-legal, and the per-chunk state fits VMEM
-            c = _pallas_bp_chunk(dec.lifted, B)
-            bp = jax.lax.map(
-                lambda s: decode_batch_lift_pallas(
-                    dec.lifted, s, dec.prior, dec.alpha_seq, maxIter,
-                    clip_llr=clip_llr, msg_dtype=jnp.float32),
-                syndrome.reshape(B // c, c, syndrome.shape[1]))
-            bp = jax.tree.map(
-                lambda v: v.reshape((B,) + v.shape[2:]), bp)
+        bp = decode_batch_lift_pallas(dec.lifted, syndrome, dec.prior,
+                                      dec.alpha_seq, maxIter,
+                                      clip_llr=clip_llr,
+                                      msg_dtype=jnp.float32)
     elif dec.lifted is not None:
         bp = decode_batch_lift(dec.lifted, syndrome, dec.prior,
                                dec.alpha_seq, maxIter, damping=damping,

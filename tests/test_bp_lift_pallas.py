@@ -81,3 +81,8 @@ def test_viable_block_b_gate():
     assert viable_block_b(small) == 128          # [[144]]-shaped: fits
     big = SimpleNamespace(ell=12, mm=12, T=20, NB=10, eb_pb=[None] * 35)
     assert viable_block_b(big) is None           # [[288]]-shaped: too big
+    # sub-128 batches pay for the padded 128-lane tile: a too-big graph is
+    # rejected at ANY batch (measured VMEM OOM at B=64 on v5e —
+    # scripts/bp288_chunked_ab.py)
+    assert viable_block_b(big, B=64) is None
+    assert viable_block_b(small, B=64) == 64     # small graph: any batch

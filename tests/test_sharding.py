@@ -170,47 +170,3 @@ def test_pallas_engine_path_under_mesh(monkeypatch):
     for k in ("z_err", "x_err", "any_err", "z_conv", "x_conv"):
         assert np.array_equal(out_pl[k], out_xla[k]), k
     assert int(out_pl["any_err_count"]) == int(out_pl["any_err"].sum())
-
-
-def test_pallas_bp_chunked_path_matches_xla(monkeypatch):
-    """When the graph has no Mosaic-legal batch block at the full batch
-    (the [[288]]-at-production-B case), the engine runs whole-batch VMEM
-    kernel calls under lax.map (engine._pallas_bp_chunk). Force that route
-    on a small graph by faking viable_block_b, and require bit-equal flags
-    vs the XLA path."""
-    import jax.numpy as jnp
-
-    import qldpc_tpu.ops.osd_pallas as osd_pallas
-    import qldpc_tpu.parallel.engine as eng
-
-    code = get_code("[[72, 12, 6]]")
-    circ = SyndromeCircuit(code, num_cycles=2)
-    M = build_decoding_matrices(circ, code.Lx, code.Lz, 0.01)
-    seq = alpha_schedule("dynamical", 5)
-    dz = _make_basis(circ, M, "Z", seq, osd_order=2)
-    dx = _make_basis(circ, M, "X", seq, osd_order=2)
-    B = 64
-    kw = dict(maxIter=5, osd_order=2, msg_dtype=jnp.float32)
-    fn_xla = make_round_fn(dz, dx, circ.num_error_locs, 0.01, B,
-                           use_pallas=False, **kw)
-    fn_pl = make_round_fn(dz, dx, circ.num_error_locs, 0.01, B,
-                          use_pallas=True, **kw)
-
-    orig_eb = osd_pallas.eliminate_blocks
-    monkeypatch.setattr(
-        osd_pallas, "eliminate_blocks",
-        lambda *a, **k: orig_eb(*a, **{**k, "interpret": True}))
-    orig_bp = eng.decode_batch_lift_pallas
-    monkeypatch.setattr(
-        eng, "decode_batch_lift_pallas",
-        lambda *a, **k: orig_bp(*a, **{**k, "interpret": True}))
-    # full batch (64) not viable, chunks of 32 are -> lax.map route
-    monkeypatch.setattr(
-        eng, "viable_block_b",
-        lambda g, msg_dtype=jnp.bfloat16, budget_bytes=48 << 20, B=None:
-            32 if B == 32 else None)
-
-    out_pl = jax.device_get(jax.jit(fn_pl)(make_key(9)))
-    out_xla = jax.device_get(jax.jit(fn_xla)(make_key(9)))
-    for k in ("z_err", "x_err", "any_err", "z_conv", "x_conv"):
-        assert np.array_equal(out_pl[k], out_xla[k]), k
