@@ -15,7 +15,6 @@ import dataclasses
 import logging
 import os
 import time
-from functools import partial
 from typing import Any, Dict, Optional
 
 import numpy as np
