@@ -286,7 +286,12 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
         msg_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" \
             else jnp.float32
 
-    def round_fn(key, dec_z=dec_z, dec_x=dec_x):
+    def round_fn(key, dec_z=dec_z, dec_x=dec_x, error_rate=error_rate):
+        # error_rate may be passed as a traced 0-d array: a p-sweep then
+        # reuses ONE compiled round program across its points (everything
+        # else p-dependent — priors, alpha sequences, channel tables —
+        # already travels inside the decoder-bundle arguments), instead of
+        # paying a multi-minute remote compile per p
         err, pauli, cat2 = sample_gate_randoms(key, batch, n_locs, error_rate)
         out = {}
         for name, dec in (("z", dec_z), ("x", dec_x)):
@@ -517,7 +522,10 @@ def run_simulation(
     # commit the decode bundles to a replicated mesh layout once: avoids
     # per-dispatch transfers, and on a multi-host mesh it is the only legal
     # way to feed them (per-process arrays are not globally addressable)
-    dec_z, dec_x = replicate((dec_z, dec_x), mesh)
+    # p travels as a traced replicated scalar so every point of a p-sweep
+    # shares one compiled round program (see make_round_fn)
+    dec_z, dec_x, p_arg = replicate(
+        (dec_z, dec_x, jnp.float32(error_rate)), mesh)
 
     key = make_key(base_seed)
     z_errs = x_errs = tot_errs = trials_run = 0
@@ -547,7 +555,7 @@ def run_simulation(
     while trials_run < max_trials:
         while len(inflight) < PIPELINE_DEPTH:
             inflight.append(sharded(jax.random.fold_in(key, round_idx),
-                                    dec_z, dec_x))
+                                    dec_z, dec_x, p_arg))
             round_idx += 1
         flags = inflight.popleft()  # device-resident; flag vectors stay
         # sharded on the mesh and are NEVER fetched in steady state — the
