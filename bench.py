@@ -116,44 +116,15 @@ def main():
     fn = jax.jit(base_fn if rpd == 1
                  else make_scanned_round_fn(base_fn, rpd))
     from qldpc_tpu.parallel.engine import make_key
+    from qldpc_tpu.utils.benchloop import timed_windows
     key = make_key(0)
-    jax.device_get(fn(key, dec_z, dec_x))  # compile + warm
-    # device_get (not block_until_ready) every round: the remote-TPU
-    # backend's block_until_ready has been observed to return before the
-    # computation finishes, inflating throughput ~500x; materializing the
-    # per-shot flags guarantees honest timing
-    # keep 2 rounds in flight to hide the fixed per-dispatch latency of the
-    # TPU transport (the engine's round loop pipelines identically)
-    from collections import deque
-    inflight = deque()
-    launched = errs = total_rounds = 0
-    # best of 3 consecutive windows: the shared tunneled chip's throughput
-    # drifts a lot between/within runs (CLAUDE.md); the best window is the
-    # closest estimate of the chip's actual capability
-    windows = []
-    for _ in range(3):
-        # align the window start to a round completion so execution carried
-        # over from before t0 is never credited to this window
-        while len(inflight) < 2:
-            inflight.append(fn(jax.random.fold_in(key, launched), dec_z,
-                               dec_x))
-            launched += 1
-        errs += int(jax.device_get(inflight.popleft())["any_err"].sum())
-        total_rounds += 1
-        t0 = time.time()
-        rounds = 0
-        while time.time() - t0 < 8.0 or rounds < 3:
-            while len(inflight) < 2:
-                inflight.append(fn(jax.random.fold_in(key, launched), dec_z,
-                                   dec_x))
-                launched += 1
-            out = jax.device_get(inflight.popleft())
-            errs += int(out["any_err"].sum())
-            rounds += 1
-        windows.append(rounds * batch * rpd / (time.time() - t0))
-        total_rounds += rounds
-    shots_per_sec = max(windows)
-    assert 0 < errs < total_rounds * batch * rpd, \
+    errs_box = [0]
+    shots_per_sec, total_rounds = timed_windows(
+        lambda i: fn(jax.random.fold_in(key, i), dec_z, dec_x),
+        batch * rpd,
+        on_round=lambda out: errs_box.__setitem__(
+            0, errs_box[0] + int(out["any_err"].sum())))
+    assert 0 < errs_box[0] < total_rounds * batch * rpd, \
         "decode produced degenerate flags"
 
     # MEASURED single-core native baseline: the C++ min-sum+OSD trial

@@ -87,12 +87,15 @@ def main():
     log = logging.getLogger("driver")
     import jax
     # on a multi-host cluster every process runs the sweep loop (SPMD), but
-    # only process 0 writes artifacts
+    # only process 0 touches the filesystem (run dirs, cache writes,
+    # checkpoints, plots — concurrent writers to a shared filesystem could
+    # tear the npz files)
     is_main = getattr(jax, "process_index", lambda: 0)() == 0
     if args.resume:
         run_dir = args.resume
         est_dir = os.path.join(run_dir, "estimation_plots")
-        os.makedirs(est_dir, exist_ok=True)
+        if is_main:
+            os.makedirs(est_dir, exist_ok=True)
         results = {}
         ckpt = os.path.join(run_dir, "results.npz")
         if os.path.exists(ckpt):
@@ -100,8 +103,11 @@ def main():
             results = load_results(ckpt).get("results", {})
             done = [(c, p) for c, d in results.items() for p in d]
             log.info("resuming %s: %d completed points", run_dir, len(done))
-    else:
+    elif is_main:
         run_dir, est_dir = make_run_dir(args.output_dir)
+        results = {}
+    else:
+        run_dir = est_dir = None
         results = {}
 
     for name in args.codes:
@@ -122,14 +128,16 @@ def main():
             if matrices is None:
                 log.info("building decoding matrices for p=%g ...", p)
                 matrices = build_decoding_matrices(circ, code.Lx, code.Lz, p)
-                save_matrices(args.cache_dir, key, matrices)
+                if is_main:
+                    save_matrices(args.cache_dir, key, matrices)
             res = run_simulation(
                 code.Hx, code.Hz, code.Lx, code.Lz, p, num_cycles=cycles,
                 maxIter=args.max_iter, osd_order=args.osd_order,
                 precomputed_matrices=matrices, alpha_mode=args.alpha_mode,
                 target_logical_errors=args.target_logical_errors,
                 max_trials=args.max_trials, scopt=args.scopt,
-                estimation_plot_dir=est_dir, base_seed=args.base_seed,
+                estimation_plot_dir=est_dir if is_main else None,
+                base_seed=args.base_seed,
                 batch_size=args.batch_size,
                 ell=getattr(code, "ell", None), m=getattr(code, "m", None),
                 a_x_powers=getattr(code, "a_x_powers", None),

@@ -200,11 +200,13 @@ def viable_block_b(g: LiftedGraph, msg_dtype=jnp.bfloat16,
     128 or the full array dimension. So: block 128 whenever the resident
     state (edge stack + posterior accumulators + frozen output block) fits
     the budget at 128 shots and the batch divides by it; otherwise a
-    full-batch block (always shape-legal) for small batches whose state
-    fits — how the [[288]] runs at batch <= 64 operated; otherwise None
-    and the caller must take the XLA lift path ([[288]] at batch 512:
-    ~77MB state at 128 — beyond the conservative budget). The engine
-    consults this before selecting the kernel."""
+    full-batch block (shape-legal) for batches <= 128 — but budgeted at
+    the PADDED width of 128 lanes, because sub-128 batches allocate the
+    full 128-lane tile anyway (measured: a 64-shot [[288]] call OOMs at
+    179MB vs the chip's 128MB VMEM, scripts/bp288_chunked_ab.py).
+    Otherwise None and the caller must take the XLA lift path — which is
+    [[288]] at EVERY batch. The engine consults this before selecting the
+    kernel."""
     dt = jnp.dtype(msg_dtype)
     slab = g.ell * g.mm * g.T * max(dt.itemsize, 4)
     per_shot = (len(g.eb_pb) + 2 * g.NB) * slab

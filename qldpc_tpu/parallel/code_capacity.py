@@ -104,7 +104,7 @@ def run_code_capacity(
             # truncated final round: per-shot prefix via replicated gather
             # (multi-host safe); full rounds use the psum scalar counts
             g = jax.device_get(gather(
-                {k: v for k, v in out.items() if not k.endswith("_count")}))
+                {k: out[k] for k in ("fail", "conv")}))
             fails += int(g["fail"][:take].sum())
             conv += int(g["conv"][:take].sum())
         else:

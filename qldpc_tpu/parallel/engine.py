@@ -575,8 +575,8 @@ def run_simulation(
             # explicit jitted all-gather makes them replicated, hence
             # addressable from every process
             g = jax.device_get(gather_flags(
-                {k: v for k, v in flags.items()
-                 if not k.endswith("_count")}))
+                {k: flags[k] for k in ("z_err", "x_err", "any_err",
+                                       "z_rankdef", "x_rankdef")}))
             z = np.asarray(g["z_err"][:take])
             x = np.asarray(g["x_err"][:take])
             a = np.asarray(g["any_err"][:take])

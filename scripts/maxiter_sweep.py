@@ -16,41 +16,28 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from collections import deque
-
 import jax
 
 from qldpc_tpu import SyndromeCircuit, get_code, build_decoding_matrices
 from qldpc_tpu.ops.bp import alpha_schedule
 from qldpc_tpu.parallel.engine import (_make_basis, make_key, make_round_fn,
                                        make_scanned_round_fn)
+from qldpc_tpu.utils.benchloop import timed_windows
 from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
                                      save_matrices)
 
 
 def measure(fn, key, batch, rpd, seconds=6.0):
-    inflight = deque()
-    launched = 0
-    conv = tot = 0
+    stats = {"conv": 0, "tot": 0}
 
-    def pump():
-        nonlocal launched
-        while len(inflight) < 2:
-            inflight.append(fn(jax.random.fold_in(key, launched)))
-            launched += 1
+    def on_round(out):
+        stats["conv"] += int(out["z_conv"].sum()) + int(out["x_conv"].sum())
+        stats["tot"] += out["z_conv"].size + out["x_conv"].size
 
-    pump()
-    out = jax.device_get(inflight.popleft())  # compile + warm
-    t0 = time.time()
-    rounds = 0
-    while time.time() - t0 < seconds or rounds < 3:
-        pump()
-        out = jax.device_get(inflight.popleft())
-        conv += int(out["z_conv"].sum()) + int(out["x_conv"].sum())
-        tot += out["z_conv"].size + out["x_conv"].size
-        rounds += 1
-    dt = time.time() - t0
-    return rounds * batch * rpd / dt, 1.0 - conv / tot
+    rate, _ = timed_windows(
+        lambda i: fn(jax.random.fold_in(key, i)), batch * rpd,
+        windows=1, seconds=seconds, on_round=on_round)
+    return rate, 1.0 - stats["conv"] / stats["tot"]
 
 
 def main():

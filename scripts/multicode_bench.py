@@ -51,38 +51,18 @@ def main():
                           osd_order=osd_order))
         decs.append((dz, dx))
 
-    from collections import deque
-
     from qldpc_tpu.parallel.engine import make_scanned_round_fn
+    from qldpc_tpu.utils.benchloop import timed_windows
 
     base = make_multi_code_round_fn(specs)
     fn = jax.jit(base if rpd == 1 else make_scanned_round_fn(base, rpd))
     key = make_key(0)
-    outs = jax.device_get(fn(key, decs))  # compile + warm
+    outs = jax.device_get(fn(key, decs))  # compile + warm + LER sanity
     lers = [float(np.asarray(o["any_err"]).mean()) for o in outs]
 
-    inflight = deque()
-    launched = 0
-
-    def pump():
-        nonlocal launched
-        while len(inflight) < 2:
-            inflight.append(fn(jax.random.fold_in(key, launched), decs))
-            launched += 1
-
-    # best-of-3 windows (chip throughput drifts; CLAUDE.md)
-    windows = []
-    for _ in range(3):
-        pump()
-        jax.device_get(inflight.popleft())  # align to a round boundary
-        t0 = time.time()
-        rounds = 0
-        while time.time() - t0 < seconds or rounds < 3:
-            pump()
-            jax.device_get(inflight.popleft())
-            rounds += 1
-        windows.append(rounds * batch * rpd / (time.time() - t0))
-    per_code = max(windows)
+    per_code, _ = timed_windows(
+        lambda i: fn(jax.random.fold_in(key, i), decs), batch * rpd,
+        seconds=seconds)
     print(json.dumps({
         "metric": "multi_code_single_launch_[[90]]+[[108]]",
         "p": p, "batch_per_code": batch, "rounds_per_dispatch": rpd,

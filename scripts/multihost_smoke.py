@@ -50,11 +50,18 @@ def child_env(extra):
 def run_child(n_virtual: int, dist: dict, out_path: str):
     extra = {"XLA_FLAGS": f"--xla_force_host_platform_device_count={n_virtual}"}
     extra.update({k: str(v) for k, v in dist.items()})
-    return subprocess.Popen(
+    # child output goes to a FILE, not a pipe: two live cluster members
+    # must drain concurrently, and a blocked pipe writer would stall its
+    # peer's collectives (deadlock until the communicate timeout)
+    log = open(out_path + ".log", "w")
+    proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child",
          "--out", out_path],
         env=child_env(extra), cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        stdout=log, stderr=subprocess.STDOUT, text=True)
+    proc._log_file = log
+    proc._log_path = out_path + ".log"
+    return proc
 
 
 def child_main(out_path: str):
@@ -126,9 +133,10 @@ def main():
     # 1) single-process reference on 8 virtual devices
     ref_path = "/tmp/qldpc_mh/single.json"
     p = run_child(8, {}, ref_path)
-    out, _ = p.communicate(timeout=1200)
+    p.wait(timeout=1200)
+    p._log_file.close()
     if p.returncode != 0:
-        print(out)
+        print(open(p._log_path).read())
         raise SystemExit("single-process reference run failed")
     ref = json.load(open(ref_path))
     print("single-process:", json.dumps(ref))
@@ -144,10 +152,12 @@ def main():
             "QLDPC_NUM_PROCESSES": 2,
             "QLDPC_PROCESS_ID": i,
         }, path))
-    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p in procs:
+        p.wait(timeout=1200)
+        p._log_file.close()
     for i, p in enumerate(procs):
         if p.returncode != 0:
-            print(f"--- process {i} output ---\n{outs[i]}")
+            print(f"--- process {i} output ---\n{open(p._log_path).read()}")
             raise SystemExit(f"cluster process {i} failed")
     r0, r1 = (json.load(open(path)) for path in paths)
     print("cluster proc0:  ", json.dumps(r0))
