@@ -1,12 +1,16 @@
-"""Same-session maxIter throughput sweep on the bench config.
+"""Same-session maxIter throughput sweep.
 
 Rationale (round-2 finding): OSD costs ~16ms/basis at ~82% unconverged
 while BP iterations in the VMEM kernel are nearly free, so raising maxIter
-(reference engine default is 50; the bench ran 20) should trade cheap BP
+(reference engine default is 50; the bench ran 20) trades cheap BP
 iterations for expensive OSD invocations. This measures throughput AND the
 unconverged fraction per maxIter in one session, pipelined like bench.py.
+Measured 2026-08-21 on [[144]] B=1024 rpd4: 20 -> 9,140 shots/s (80.6%
+unconverged), 30 -> 9,988 (67.5%), 50 -> 10,735 (50.1%), 80 -> 10,355,
+120 -> 9,039 — 50 is the peak AND the reference engine default.
 
-Usage: python scripts/maxiter_sweep.py [maxIters...] (default 20 30 50)
+Usage: python scripts/maxiter_sweep.py [maxIters...] [--code NAME]
+       [--p P] [--batch B] [--rpd N]
 """
 import os
 import sys
@@ -41,9 +45,18 @@ def measure(fn, key, batch, rpd, seconds=6.0):
 
 
 def main():
-    maxiters = [int(a) for a in sys.argv[1:]] or [20, 30, 50]
-    code = get_code("[[144, 12, 12]]")
-    cycles, p, batch, rpd, osd_order = 12, 0.004, 1024, 4, 2
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("maxiters", nargs="*", type=int, default=None)
+    ap.add_argument("--code", default="[[144, 12, 12]]")
+    ap.add_argument("--p", type=float, default=0.004)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--rpd", type=int, default=4)
+    args = ap.parse_args()
+    maxiters = args.maxiters or [20, 30, 50]
+    code = get_code(args.code)
+    cycles, p = code.distance, args.p
+    batch, rpd, osd_order = args.batch, args.rpd, 2
     circ = SyndromeCircuit(code, num_cycles=cycles)
     key_c = compute_cache_key(code.Hx, code.Hz, code.Lx, code.Lz, cycles, p)
     M = load_matrices("matrix_cache", key_c)

@@ -136,3 +136,33 @@ def test_multi_code_single_launch():
     for o1, fout in zip(one, fouts):
         assert fout["any_err"].shape == (24,)
         np.testing.assert_array_equal(fout["any_err"][8:16], o1["any_err"])
+
+
+def test_round_program_shared_across_p():
+    """The decode round's HLO must be identical across error rates: p
+    enters as a traced scalar, so a p-sweep reuses ONE compiled program
+    (every p-dependent table travels inside the decoder-bundle arguments).
+    A p baked into the program as a constant would silently restore the
+    multi-minute per-point remote compile."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from qldpc_tpu import SyndromeCircuit, build_decoding_matrices
+    from qldpc_tpu.ops.bp import alpha_schedule
+    from qldpc_tpu.parallel.engine import _make_basis, make_key, make_round_fn
+
+    code = get_code("[[72, 12, 6]]")
+    circ = SyndromeCircuit(code, num_cycles=2)
+    hlos = []
+    for p in (0.01, 0.004):
+        M = build_decoding_matrices(circ, code.Lx, code.Lz, p)
+        seq = alpha_schedule("dynamical", 4)
+        dz = _make_basis(circ, M, "Z", seq, osd_order=1)
+        dx = _make_basis(circ, M, "X", seq, osd_order=1)
+        fn = make_round_fn(dz, dx, circ.num_error_locs, p, 8, 4, 1)
+        low = jax.jit(fn).lower(make_key(0), dz, dx, jnp.float32(p))
+        hlos.append(hashlib.sha256(
+            str(low.compiler_ir("stablehlo")).encode()).hexdigest())
+    assert hlos[0] == hlos[1]
