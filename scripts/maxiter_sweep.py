@@ -31,7 +31,8 @@ from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
                                      save_matrices)
 
 
-def measure(fn, key, batch, rpd, seconds=6.0):
+def measure(fn_decs, key, batch, rpd, seconds=6.0):
+    fn, dz, dx = fn_decs
     stats = {"conv": 0, "tot": 0}
 
     def on_round(out):
@@ -39,7 +40,7 @@ def measure(fn, key, batch, rpd, seconds=6.0):
         stats["tot"] += out["z_conv"].size + out["x_conv"].size
 
     rate, _ = timed_windows(
-        lambda i: fn(jax.random.fold_in(key, i)), batch * rpd,
+        lambda i: fn(jax.random.fold_in(key, i), dz, dx), batch * rpd,
         windows=1, seconds=seconds, on_round=on_round)
     return rate, 1.0 - stats["conv"] / stats["tot"]
 
@@ -72,7 +73,9 @@ def main():
         dx = _make_basis(circ, M, "X", seq, osd_order=osd_order)
         base = make_round_fn(dz, dx, circ.num_error_locs, p, batch, mi,
                              osd_order)
-        fns[mi] = jax.jit(make_scanned_round_fn(base, rpd))
+        # bundles travel as jit ARGUMENTS: baked [[288]]-sized closure
+        # constants exceed the remote compile service's request limit
+        fns[mi] = (jax.jit(make_scanned_round_fn(base, rpd)), dz, dx)
 
     # two interleaved passes so chip drift hits all configs equally
     results = {mi: [] for mi in maxiters}
