@@ -170,3 +170,11 @@ def test_pallas_engine_path_under_mesh(monkeypatch):
     for k in ("z_err", "x_err", "any_err", "z_conv", "x_conv"):
         assert np.array_equal(out_pl[k], out_xla[k]), k
     assert int(out_pl["any_err_count"]) == int(out_pl["any_err"].sum())
+
+
+def test_distributed_init_noop_without_env(monkeypatch):
+    """Without QLDPC_COORDINATOR the guarded jax.distributed entry must be
+    a no-op returning False (single-process runs need no configuration)."""
+    from qldpc_tpu.parallel.mesh import distributed_init_from_env
+    monkeypatch.delenv("QLDPC_COORDINATOR", raising=False)
+    assert distributed_init_from_env() is False
