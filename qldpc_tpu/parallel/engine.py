@@ -357,6 +357,142 @@ def make_multi_code_round_fn(specs):
     return multi_round
 
 
+def run_multi_code_simulation(
+    codes, error_rate, num_cycles=None, maxIter=50, osd_order=0,
+    alpha_mode="dynamical", alvarado_alpha=None,
+    target_logical_errors=None, max_trials=None,
+    batch_size: Optional[int] = None,
+    rounds_per_dispatch: Optional[int] = None,
+    precomputed_matrices=None, base_seed=None, verbose: bool = True,
+) -> Dict[str, Dict[str, Any]]:
+    """Several codes' Monte-Carlo LER estimates from ONE jitted launch per
+    round (BASELINE config 3 as a public API, not just a bench script).
+
+    Every round decodes a batch for EVERY code back to back inside a
+    single dispatch, amortizing the fixed per-dispatch transport floor
+    across codes; the run continues until every code has reached
+    ``target_logical_errors`` (or ``max_trials``), and each finished
+    code's tally is truncated at its exact crossing trial (the same
+    sequential rule as run_simulation, applied per code).
+
+    Args:
+      codes: list of code objects (e.g. ``get_code(name)``) or registry
+        names.
+      num_cycles: per-code cycles; None uses each code's distance.
+      precomputed_matrices: optional list, aligned with ``codes``.
+      alpha_mode: "dynamical" or "alvarado" with an explicit
+        ``alvarado_alpha`` (calibration fitting is per-code work — run
+        run_simulation for the data-driven modes).
+
+    Returns {code.name: result dict} with the run_simulation keys.
+    Single-process meshes only (the multi-code launch is a single-chip
+    throughput feature; shard the shot axis per code via run_simulation
+    for multi-host runs).
+    """
+    if base_seed is None:
+        base_seed = int(np.random.randint(0, 2**31))
+    if max_trials is None:
+        max_trials = 1_000_000 if target_logical_errors else 10_000
+    stop_on_errors = (target_logical_errors is not None
+                      and target_logical_errors > 0)
+    if alpha_mode == "dynamical":
+        alpha = 1.0
+    elif alpha_mode == "alvarado":
+        if alvarado_alpha is None:
+            raise ValueError(
+                "alvarado mode here needs an explicit alvarado_alpha; use "
+                "run_simulation for data-driven calibration")
+        alpha = float(alvarado_alpha)
+    else:
+        raise ValueError(f"unsupported alpha_mode for the multi-code "
+                         f"launch: {alpha_mode!r}")
+    if batch_size is None:
+        batch_size = 512 if jax.default_backend() != "cpu" else 64
+    if rounds_per_dispatch is None:
+        rounds_per_dispatch = 4 if jax.default_backend() != "cpu" else 1
+
+    from ..models.bb import get_code
+    resolved = [get_code(c) if isinstance(c, str) else c for c in codes]
+
+    specs, decs, names = [], [], []
+    seq_cache = alpha_schedule(alpha_mode, maxIter, alpha)
+    for i, c in enumerate(resolved):
+        cycles = num_cycles or c.distance or 12
+        circ = SyndromeCircuit(c, num_cycles=cycles)
+        M = (precomputed_matrices[i] if precomputed_matrices else
+             build_decoding_matrices(circ, c.Lx, c.Lz, error_rate))
+        M = ensure_sampler_metadata(M, circ, c.Lx, c.Lz, error_rate)
+        dz = _make_basis(circ, M, "Z", seq_cache, osd_order=osd_order)
+        dx = _make_basis(circ, M, "X", seq_cache, osd_order=osd_order)
+        specs.append(dict(dec_z=dz, dec_x=dx, n_locs=circ.num_error_locs,
+                          error_rate=error_rate, batch=batch_size,
+                          maxIter=maxIter, osd_order=osd_order))
+        decs.append((dz, dx))
+        names.append(getattr(c, "name", f"code{i}"))
+
+    base_fn = make_multi_code_round_fn(specs)
+    fn = base_fn if rounds_per_dispatch == 1 else \
+        make_scanned_round_fn(base_fn, rounds_per_dispatch)
+
+    jfn = jax.jit(fn)
+    round_shots = batch_size * rounds_per_dispatch
+    key = make_key(base_seed)
+    n = len(resolved)
+    trials = [0] * n
+    z_errs, x_errs, tot = [0] * n, [0] * n, [0] * n
+    done = [False] * n
+    t_start = time.time()
+    t_steady = None
+    steady = [0] * n
+    round_idx = 0
+    while not all(done):
+        outs = jfn(jax.random.fold_in(key, round_idx), decs)
+        round_idx += 1
+        for i, o in enumerate(outs):
+            if done[i]:
+                continue
+            take = min(round_shots, max_trials - trials[i])
+            flags = jax.device_get(
+                {k: o[k][:take] for k in ("z_err", "x_err", "any_err")})
+            z, x, a = flags["z_err"], flags["x_err"], flags["any_err"]
+            if stop_on_errors and tot[i] + int(a.sum()) >=                     target_logical_errors:
+                cum = np.cumsum(a)
+                need = tot_errs_target(target_logical_errors, tot[i])
+                take = int(np.searchsorted(cum, need)) + 1
+                z, x, a = z[:take], x[:take], a[:take]
+            trials[i] += take
+            z_errs[i] += int(z.sum())
+            x_errs[i] += int(x.sum())
+            tot[i] += int(a.sum())
+            if (stop_on_errors and tot[i] >= target_logical_errors) or \
+                    trials[i] >= max_trials:
+                done[i] = True
+        if t_steady is None:
+            t_steady = time.time()
+            steady = list(trials)
+        if verbose:
+            logger.info("multi-code round %d: %s", round_idx,
+                        {nm: (trials[i], tot[i])
+                         for i, nm in enumerate(names)})
+    elapsed = time.time() - t_start
+    steady_elapsed = (time.time() - t_steady) if t_steady else elapsed
+    steady_done = sum(trials) - sum(steady)
+    results = {}
+    for i, nm in enumerate(names):
+        results[nm] = {
+            "logical_error_rate": tot[i] / max(1, trials[i]),
+            "z_logical_error_rate": z_errs[i] / max(1, trials[i]),
+            "x_logical_error_rate": x_errs[i] / max(1, trials[i]),
+            "num_trials": trials[i],
+            "logical_errors": tot[i],
+            "shots_per_sec": (steady_done / steady_elapsed if steady_done
+                              else sum(trials) / max(elapsed, 1e-9)),
+            "elapsed_sec": elapsed,
+            "num_devices": 1,
+        }
+    return results
+
+
 def run_simulation(
     Hx, Hz, Lx, Lz, error_rate, num_trials=1000, num_cycles=12,
     maxIter=50, osd_order=0, use_dynamic_alpha=True,

@@ -166,3 +166,25 @@ def test_round_program_shared_across_p():
         hlos.append(hashlib.sha256(
             str(low.compiler_ir("stablehlo")).encode()).hexdigest())
     assert hlos[0] == hlos[1]
+
+
+def test_run_multi_code_simulation():
+    """BASELINE config 3 as an API: several codes per jitted launch with
+    per-code exact sequential stopping."""
+    from qldpc_tpu.parallel.engine import run_multi_code_simulation
+    res = run_multi_code_simulation(
+        ["[[72, 12, 6]]", "[[90, 8, 10]]"], 0.01, num_cycles=2,
+        maxIter=5, osd_order=0, target_logical_errors=6, max_trials=400,
+        batch_size=16, base_seed=9, verbose=False)
+    assert set(res) == {"[[72, 12, 6]]", "[[90, 8, 10]]"}
+    for name, r in res.items():
+        assert r["logical_errors"] == 6 or r["num_trials"] == 400, (name, r)
+        assert 0.0 <= r["logical_error_rate"] <= 1.0
+    # reproducible given the seed
+    res2 = run_multi_code_simulation(
+        ["[[72, 12, 6]]", "[[90, 8, 10]]"], 0.01, num_cycles=2,
+        maxIter=5, osd_order=0, target_logical_errors=6, max_trials=400,
+        batch_size=16, base_seed=9, verbose=False)
+    for name in res:
+        assert res[name]["num_trials"] == res2[name]["num_trials"]
+        assert res[name]["logical_errors"] == res2[name]["logical_errors"]
