@@ -384,10 +384,18 @@ def run_multi_code_simulation(
         ``alvarado_alpha`` (calibration fitting is per-code work — run
         run_simulation for the data-driven modes).
 
-    Returns {code.name: result dict} with the run_simulation keys.
+    Returns {code.name: result dict} with the run_simulation keys;
+    ``shots_per_sec`` is that code's own decoded-trial rate, and
+    ``combined_shots_per_sec`` the launch-level aggregate across codes.
     Single-process meshes only (the multi-code launch is a single-chip
     throughput feature; shard the shot axis per code via run_simulation
     for multi-host runs).
+
+    Cost note: every launch decodes a batch for EVERY code (one compiled
+    program), so a code that reaches its target early keeps being decoded
+    — and its results discarded — until the slowest code finishes. Pairing
+    codes with very different LERs wastes a corresponding share of late
+    rounds; the engine logs when a code finishes early.
     """
     if base_seed is None:
         base_seed = int(np.random.randint(0, 2**31))
@@ -455,7 +463,8 @@ def run_multi_code_simulation(
             flags = jax.device_get(
                 {k: o[k][:take] for k in ("z_err", "x_err", "any_err")})
             z, x, a = flags["z_err"], flags["x_err"], flags["any_err"]
-            if stop_on_errors and tot[i] + int(a.sum()) >=                     target_logical_errors:
+            if (stop_on_errors
+                    and tot[i] + int(a.sum()) >= target_logical_errors):
                 cum = np.cumsum(a)
                 need = tot_errs_target(target_logical_errors, tot[i])
                 take = int(np.searchsorted(cum, need)) + 1
@@ -467,6 +476,11 @@ def run_multi_code_simulation(
             if (stop_on_errors and tot[i] >= target_logical_errors) or \
                     trials[i] >= max_trials:
                 done[i] = True
+                if verbose and not all(done):
+                    logger.info(
+                        "multi-code: %s reached its target after %d trials; "
+                        "its share of each remaining launch is discarded "
+                        "until the slowest code finishes", names[i], trials[i])
         if t_steady is None:
             t_steady = time.time()
             steady = list(trials)
@@ -477,16 +491,22 @@ def run_multi_code_simulation(
     elapsed = time.time() - t_start
     steady_elapsed = (time.time() - t_steady) if t_steady else elapsed
     steady_done = sum(trials) - sum(steady)
+    combined_rate = (steady_done / steady_elapsed if steady_done
+                     else sum(trials) / max(elapsed, 1e-9))
     results = {}
     for i, nm in enumerate(names):
+        code_steady = trials[i] - steady[i]
         results[nm] = {
             "logical_error_rate": tot[i] / max(1, trials[i]),
             "z_logical_error_rate": z_errs[i] / max(1, trials[i]),
             "x_logical_error_rate": x_errs[i] / max(1, trials[i]),
             "num_trials": trials[i],
             "logical_errors": tot[i],
-            "shots_per_sec": (steady_done / steady_elapsed if steady_done
-                              else sum(trials) / max(elapsed, 1e-9)),
+            # this code's own decoded-trial rate; the launch-level aggregate
+            # across all codes is combined_shots_per_sec
+            "shots_per_sec": (code_steady / steady_elapsed if code_steady
+                              else trials[i] / max(elapsed, 1e-9)),
+            "combined_shots_per_sec": combined_rate,
             "elapsed_sec": elapsed,
             "num_devices": 1,
         }
@@ -618,6 +638,19 @@ def run_simulation(
         # engine.py:389 TODO) not yet consumed by the decoder
         result_extra.update(beta_z=beta_z, beta_x=beta_x,
                             beta_r2_z=br2z, beta_r2_x=br2x)
+
+    if getattr(jax, "process_count", lambda: 1)() > 1 and \
+            alpha_mode != "dynamical":
+        # The data-driven calibration fits run per-process numerics
+        # (histogram + curve_fit); replicate() below assumes bit-identical
+        # bundles on every process, so broadcast the fitted sequences from
+        # process 0 — like the seed — instead of trusting cross-process
+        # float determinism.
+        from jax.experimental import multihost_utils
+        seq_z, seq_x = (np.asarray(a) for a in
+                        multihost_utils.broadcast_one_to_all(
+                            (np.asarray(seq_z, np.float32),
+                             np.asarray(seq_x, np.float32))))
 
     dec_z = _make_basis(circ, matrices, "Z", seq_z, osd_order=osd_order)
     dec_x = _make_basis(circ, matrices, "X", seq_x, osd_order=osd_order)
