@@ -11,16 +11,31 @@ in-kernel vs ~2ms/iteration for the XLA pipeline (scripts/bp_lift_bench.py).
 The lift makes this possible: the graph's irregular connectivity is
 compiled into ~35 static (roll_x, roll_y, time-shift) slab moves per pass
 (zero dynamic gathers — Mosaic's dynamic_gather cannot express BP's
-permutations, see CLAUDE.md). Dead grid slots travel as +_BIG messages and
-multiplicative masks, so the kernel body is pure arithmetic.
+permutations, see CLAUDE.md). Dead grid slots travel as +_BIG messages; the
+per-edge liveness masks are bit-packed over the edge axis into
+ceil(EB/32) int32 slabs (every (..., 1)-shaped VMEM input is lane-padded
+to 128, so unpacked per-edge f32 masks would cost a full EB-slab stack —
+~49MB for [[288,12,18]], the round-3 OOM; packed they cost 2 slabs).
 
-Semantics: identical to ops/bp_lift.decode_batch_lift with damping == 1
-(same schedule, min1/min2 via value-equality, per-shot convergence freeze,
-per-block early exit — each batch block exits its while loop independently,
-which can only *tighten* the generic whole-batch exit). Cross-checked
-bitwise against the XLA lift in tests/test_bp_lift_pallas.py (interpret
-mode) and on hardware (float32 bit-exact at every tested batch/grid/depth).
-Reference algorithm parity notes: ops/bp.py, ops/bp_lift.py docstrings.
+Two schedules:
+- "flooding": every check updated from the previous iteration's messages
+  (the reference schedule, src/decoding/kernels.py:278-345).
+- "layered": the beyond-reference time-layered serial schedule of
+  ops/bp_lift.decode_batch_lift_layered — even time slices' checks, then
+  odd, with posteriors recomputed between the halves. Edge messages hold R
+  (persistent across halves) and Q is recomputed from the resident
+  posteriors on the fly, so the schedule costs no extra VMEM state.
+
+Convergence freezing uses a PACKED hard-decision plane: at a shot's first
+converged sweep its NB hard bits per grid slot are latched into one int32
+slab (bit pb). The posterior output therefore holds the FINAL posteriors
+for every shot; for converged shots the decision comes from the latched
+bits (``hard``), and their ``values`` are the post-convergence evolution —
+downstream code (engine OSD ordering, residual weights) only ever consumes
+``values`` of unconverged shots, and ``hard`` everywhere. Unconverged
+shots' values/hard and all converged/iterations flags remain bit-exact
+against the XLA layouts (cross-checked in tests/test_bp_lift_pallas.py and
+on hardware).
 
 WARNING — bfloat16 ON HARDWARE IS MISCOMPILED: with msg_dtype=bfloat16 the
 Mosaic-compiled kernel returns wrong posteriors (44-76% of values off, even
@@ -31,8 +46,8 @@ VMEM-resident loop is compute-bound, f32 is also the faster choice
 (34.5ms vs 36.5ms, [[144]] B=512 20 iters). Known Mosaic limits hit while
 building this kernel (all documented in CLAUDE.md): bf16 comparisons crash
 the compiler, selects with scalar bf16 operands crash, bool vectors as
-data (broadcast/astype) hit unsupported i8<->i1 casts, zero-shift
-jnp.roll emits zero-width slices.
+data (broadcast/astype of a comparison) hit unsupported i8<->i1 casts,
+zero-shift jnp.roll emits zero-width slices.
 """
 from __future__ import annotations
 
@@ -73,17 +88,24 @@ def _roll_to_col(A, cx: int, cy: int, o: int, dead):
     return A
 
 
-def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
-               syn_ref, prior_ref, cmask_ref, alpha_ref,
-               vals_ref, done_ref, iters_ref,
-               q_scr, v_scr):
+def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
+               syn_ref, prior_ref, cmaskw_ref, alpha_ref,
+               vals_ref, done_ref, iters_ref, hardpack_ref,
+               msg_scr):
     """One batch block, all BP iterations in VMEM.
 
     meta: (eb_pb, eb_cx, eb_cy, eb_o, NB) python statics.
-    syn_ref   (ell, mm, T, Bb) int32     prior_ref (NB, ell, mm, T, 1) f32
-    cmask_ref (EB, ell, mm, T, 1) f32    alpha_ref (maxIter,) f32 [SMEM]
-    vals_ref  (NB, ell, mm, T, Bb) f32   done/iters_ref (1, Bb) int32
-    q_scr     (EB, ell, mm, T, Bb) dt    v_scr (NB, ell, mm, T, Bb) f32
+    syn_ref      (ell, mm, T, Bb) int32
+    prior_ref    (NB, ell, mm, T, 1) f32
+    cmaskw_ref   (ceil(EB/32), ell, mm, T, 1) int32 — bit e%32 of word
+                 e//32 = edge e live at this check slot
+    alpha_ref    (maxIter,) f32 [SMEM]
+    vals_ref     (NB, ell, mm, T, Bb) f32 — the WORKING posterior buffer;
+                 holds final posteriors at exit
+    done/iters_ref (1, Bb) int32
+    hardpack_ref (ell, mm, T, Bb) int32 — bit pb = latched hard decision of
+                 grid slot (pb, x, y, t) at the shot's first convergence
+    msg_scr      (EB, ell, mm, T, Bb) dt — Q (flooding) or R (layered)
     """
     eb_pb, eb_cx, eb_cy, eb_o, NB = meta
     EB = len(eb_pb)
@@ -100,18 +122,44 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
     syn = syn_ref[:]                    # int32 (Mosaic cannot trunci int8)
     sgn_syn = (one - 2.0 * syn.astype(dt))
 
-    # init: Q0 = prior of the edge's column, at the edge's check position
-    for e in range(EB):
-        pv = jnp.broadcast_to(prior_ref[eb_pb[e]].astype(dt),
-                              (ell, mm, T, Bb))
-        qc = _roll_to_check(pv, eb_cx[e], eb_cy[e], eb_o[e], big)
-        mk = jnp.broadcast_to(cmask_ref[e], (ell, mm, T, Bb))
-        q_scr[e] = jnp.where(mk > 0.5, qc, big_v)
+    def mk(e):
+        """Live-edge predicate of edge e at each check slot (int32 > 0)."""
+        w = jnp.broadcast_to(cmaskw_ref[e // 32], (ell, mm, T, Bb))
+        return ((w >> (e % 32)) & 1) > 0
+
+    def prior_bc(pb):
+        return jnp.broadcast_to(prior_ref[pb], (ell, mm, T, Bb))
+
+    def latch(ok):
+        """Per-shot convergence bookkeeping shared by both schedules:
+        latch packed hard bits + iteration at first convergence."""
+        hp = jnp.zeros((ell, mm, T, Bb), jnp.int32)
+        for pb in range(NB):
+            bit_v = jnp.full((ell, mm, T, Bb), 1 << pb, jnp.int32)
+            hp = hp + jnp.where(vals_ref[pb] < 0.0, bit_v,
+                                jnp.zeros((ell, mm, T, Bb), jnp.int32))
+        done = done_ref[:]                                # (1, Bb)
+        keep = jnp.broadcast_to(done.reshape(1, 1, 1, Bb),
+                                (ell, mm, T, Bb))
+        hardpack_ref[:] = jnp.where(keep > 0, hardpack_ref[:], hp)
+        return done
+
+    if schedule == "flooding":
+        # init: Q0 = prior of the edge's column, at the edge's check position
+        for e in range(EB):
+            pv = prior_bc(eb_pb[e]).astype(dt)
+            qc = _roll_to_check(pv, eb_cx[e], eb_cy[e], eb_o[e], big)
+            msg_scr[e] = jnp.where(mk(e), qc, big_v)
+    else:  # layered: messages hold R, posteriors start at the priors
+        for e in range(EB):
+            msg_scr[e] = zero_v
+        for pb in range(NB):
+            vals_ref[pb] = prior_bc(pb)
     done_ref[:] = jnp.zeros((1, Bb), jnp.int32)
     iters_ref[:] = jnp.full((1, Bb), maxIter - 1, jnp.int32)
-    vals_ref[:] = jnp.zeros(vals_ref.shape, jnp.float32)
+    hardpack_ref[:] = jnp.zeros((ell, mm, T, Bb), jnp.int32)
 
-    def body(carry):
+    def flood_body(carry):
         it, _ = carry
         alpha = alpha_ref[it].astype(dt)
 
@@ -120,7 +168,7 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
         m2 = m1
         negs = jnp.zeros((ell, mm, T, Bb), jnp.int32)
         for e in range(EB):
-            qe = q_scr[e]
+            qe = msg_scr[e]
             a = jnp.abs(qe)                     # dead slots: +_BIG
             # all comparisons in f32 (exact bf16 upcast): Mosaic crashes
             # on bf16 compares; bool results feed ONLY where-predicates
@@ -136,49 +184,107 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
         # accumulate R first and add the prior at the end: same f32
         # association as the XLA lift's `prior + sum(Rcol)` (bit-exactness)
         for pb in range(NB):
-            v_scr[pb] = jnp.zeros((ell, mm, T, Bb), jnp.float32)
+            vals_ref[pb] = jnp.zeros((ell, mm, T, Bb), jnp.float32)
         for e in range(EB):
-            qe = q_scr[e]
+            qe = msg_scr[e]
             qe32 = qe.astype(jnp.float32)
             mag = jnp.where(jnp.abs(qe32) == m1.astype(jnp.float32), m2, m1)
-            mk = jnp.broadcast_to(cmask_ref[e], (ell, mm, T, Bb))
             # the edge-sign multiply is an exact +-1 flip: select the
             # negated product instead of multiplying by a scalar sign
             rpos = alpha * sgn * mag
             r = jnp.where(qe32 < 0.0, -rpos, rpos)
-            r = jnp.where(mk > 0.5, r, zero_v)
-            q_scr[e] = r                        # Rchk, check layout
+            r = jnp.where(mk(e), r, zero_v)
+            msg_scr[e] = r                      # Rchk, check layout
             rc = _roll_to_col(r, eb_cx[e], eb_cy[e], eb_o[e],
                               jnp.asarray(0.0, dt))
-            v_scr[eb_pb[e]] = v_scr[eb_pb[e]] + rc.astype(jnp.float32)
+            vals_ref[eb_pb[e]] = vals_ref[eb_pb[e]] + rc.astype(jnp.float32)
         for pb in range(NB):
-            v_scr[pb] = jnp.broadcast_to(prior_ref[pb],
-                                         (ell, mm, T, Bb)) + v_scr[pb]
+            vals_ref[pb] = prior_bc(pb) + vals_ref[pb]
 
         # --- Q update + syndrome parity (one V->check roll per edge) ---
         par = jnp.zeros((ell, mm, T, Bb), jnp.int32)
         for e in range(EB):
-            vhc = _roll_to_check(v_scr[eb_pb[e]].astype(dt),
+            vhc = _roll_to_check(vals_ref[eb_pb[e]].astype(dt),
                                  eb_cx[e], eb_cy[e], eb_o[e], big)
-            mk = jnp.broadcast_to(cmask_ref[e], (ell, mm, T, Bb))
-            par = par + jnp.where((mk > 0.5)
+            par = par + jnp.where(mk(e)
                                   & (vhc.astype(jnp.float32) < 0.0), 1, 0)
-            qn = jnp.minimum(jnp.maximum(vhc - q_scr[e], clip_lo_v),
+            qn = jnp.minimum(jnp.maximum(vhc - msg_scr[e], clip_lo_v),
                              clip_hi_v)
-            q_scr[e] = jnp.where(mk > 0.5, qn, big_v)
+            msg_scr[e] = jnp.where(mk(e), qn, big_v)
 
         eq = jnp.where((par & 1) == syn, 1, 0)
         ok = jnp.min(eq.reshape(ell * mm * T, Bb), axis=0,
                      keepdims=True)                       # (1, Bb)
 
-        # freeze posteriors at each shot's first convergence
-        done = done_ref[:]                                # (1, Bb)
-        # broadcast the int32 flags, compare at use: Mosaic cannot
-        # materialize broadcast bool vectors (i8->i1 trunci is unsupported)
-        keep = jnp.broadcast_to(done.reshape(1, 1, 1, Bb),
-                                (ell, mm, T, Bb))
-        for pb in range(NB):
-            vals_ref[pb] = jnp.where(keep > 0, vals_ref[pb], v_scr[pb])
+        done = latch(ok)
+        newly = (ok > 0) & (done == 0)
+        iters_ref[:] = jnp.where(newly, it, iters_ref[:])
+        done = jnp.where(ok > 0, 1, done)
+        done_ref[:] = done
+        return it + 1, jnp.min(done) > 0
+
+    def layered_body(carry):
+        it, _ = carry
+        alpha = alpha_ref[it].astype(dt)
+        # layer selector: even/odd position on the check-layout time axis
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (ell, mm, T, Bb), 2)
+
+        for L in (0, 1):
+            # pass A: on-the-fly check statistics from Q = clip(V - R)
+            m1 = jnp.full((ell, mm, T, Bb), _BIG, dt)
+            m2 = m1
+            negs = jnp.zeros((ell, mm, T, Bb), jnp.int32)
+            for e in range(EB):
+                vhc = _roll_to_check(vals_ref[eb_pb[e]].astype(dt),
+                                     eb_cx[e], eb_cy[e], eb_o[e], big)
+                q = jnp.minimum(jnp.maximum(vhc - msg_scr[e], clip_lo_v),
+                                clip_hi_v)
+                q = jnp.where(mk(e), q, big_v)
+                a = jnp.abs(q)
+                a32 = a.astype(jnp.float32)
+                m2 = jnp.minimum(m2, jnp.where(a32 < m1.astype(jnp.float32),
+                                               m1, a))
+                m1 = jnp.minimum(m1, a)
+                negs = negs + jnp.where(q.astype(jnp.float32) < 0.0, 1, 0)
+            sgn = (1 - 2 * (negs & 1)).astype(dt) * sgn_syn
+            # pass B: recompute Q (V and R unchanged since pass A — exact),
+            # commit R on this layer's time slices only
+            for e in range(EB):
+                vhc = _roll_to_check(vals_ref[eb_pb[e]].astype(dt),
+                                     eb_cx[e], eb_cy[e], eb_o[e], big)
+                q = jnp.minimum(jnp.maximum(vhc - msg_scr[e], clip_lo_v),
+                                clip_hi_v)
+                q = jnp.where(mk(e), q, big_v)
+                q32 = q.astype(jnp.float32)
+                mag = jnp.where(jnp.abs(q32) == m1.astype(jnp.float32),
+                                m2, m1)
+                rpos = alpha * sgn * mag
+                r = jnp.where(q32 < 0.0, -rpos, rpos)
+                r = jnp.where(mk(e), r, zero_v)
+                msg_scr[e] = jnp.where((t_idx & 1) == L, r, msg_scr[e])
+            # pass C: posterior recompute from ALL layers' messages
+            for pb in range(NB):
+                vals_ref[pb] = jnp.zeros((ell, mm, T, Bb), jnp.float32)
+            for e in range(EB):
+                rc = _roll_to_col(msg_scr[e], eb_cx[e], eb_cy[e], eb_o[e],
+                                  jnp.asarray(0.0, dt))
+                vals_ref[eb_pb[e]] = (vals_ref[eb_pb[e]]
+                                      + rc.astype(jnp.float32))
+            for pb in range(NB):
+                vals_ref[pb] = prior_bc(pb) + vals_ref[pb]
+
+        # --- post-sweep syndrome parity ---
+        par = jnp.zeros((ell, mm, T, Bb), jnp.int32)
+        for e in range(EB):
+            vhc = _roll_to_check(vals_ref[eb_pb[e]].astype(dt),
+                                 eb_cx[e], eb_cy[e], eb_o[e], big)
+            par = par + jnp.where(mk(e)
+                                  & (vhc.astype(jnp.float32) < 0.0), 1, 0)
+        eq = jnp.where((par & 1) == syn, 1, 0)
+        ok = jnp.min(eq.reshape(ell * mm * T, Bb), axis=0,
+                     keepdims=True)                       # (1, Bb)
+
+        done = latch(ok)
         newly = (ok > 0) & (done == 0)
         iters_ref[:] = jnp.where(newly, it, iters_ref[:])
         done = jnp.where(ok > 0, 1, done)
@@ -189,53 +295,64 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt,
         it, all_done = carry
         return (it < maxIter) & ~all_done
 
+    body = flood_body if schedule == "flooding" else layered_body
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
 
-def viable_block_b(g: LiftedGraph, msg_dtype=jnp.bfloat16,
-                   budget_bytes: int = 48 << 20, B: int = None):
+def viable_block_b(g: LiftedGraph, msg_dtype=jnp.float32,
+                   budget_bytes: int = 110 << 20, B: int = None):
     """Legal VMEM batch block for this graph (and batch size), or None.
 
     Mosaic requires the minor (batch) block dimension to be a multiple of
-    128 or the full array dimension. So: block 128 whenever the resident
-    state (edge stack + posterior accumulators + frozen output block) fits
-    the budget at 128 shots and the batch divides by it; otherwise a
-    full-batch block (shape-legal) for batches <= 128 — but budgeted at
-    the PADDED width of 128 lanes, because sub-128 batches allocate the
-    full 128-lane tile anyway (measured: a 64-shot [[288]] call OOMs at
-    179MB vs the chip's 128MB VMEM, scripts/bp288_chunked_ab.py).
-    Otherwise None and the caller must take the XLA lift path — which is
-    [[288]] at EVERY batch. The engine consults this before selecting the
-    kernel."""
+    128 or the full array dimension, and pads sub-128 batches to a full
+    128-lane tile, so every slab is budgeted at 128 lanes regardless of B
+    (measured: a 64-shot [[288]] call allocated the full 128-padded state,
+    scripts/bp288_chunked_ab.py). Resident state per block: the EB edge
+    slabs + the NB posterior output block + packed masks/prior/syndrome/
+    hardpack windows, with input/output windows that revolve across grid
+    steps counted twice (double buffering). [[288,12,18]] fits at ~100MB
+    since round 4 (packed masks + merged posterior scratch); graphs beyond
+    the budget return None and take the XLA lift path."""
     dt = jnp.dtype(msg_dtype)
-    slab = g.ell * g.mm * g.T * max(dt.itemsize, 4)
-    per_shot = (len(g.eb_pb) + 2 * g.NB) * slab
-    if per_shot * 128 <= budget_bytes and (B is None or B % 128 == 0):
+    slab = g.ell * g.mm * g.T * 128 * max(dt.itemsize, 4)
+    EB, NB = len(g.eb_pb), g.NB
+    wcm = -(-EB // 32)
+    multi_step = B is not None and B > 128
+    dbuf = 2 if multi_step else 1
+    # msg scratch + vals out + prior in + packed cmask in + syn in +
+    # hardpack out + done/iters (negligible)
+    slabs = EB + NB * dbuf + NB + wcm + dbuf + dbuf
+    if slabs * slab > budget_bytes:
+        return None
+    if B is None or B % 128 == 0:
         return 128
-    # Sub-128 full-batch blocks pay for 128 shots anyway: the batch rides
-    # the minor (lane) axis, which Mosaic pads to a full 128-lane tile —
-    # measured on v5e: a 64-shot [[288]] whole-batch call allocates 179MB
-    # (the 128-padded state + double-buffered windows), exceeding the
-    # chip's 128MB VMEM (scripts/bp288_chunked_ab.py). So the small-batch
-    # branch must budget at the PADDED width.
-    if B is not None and B <= 128 and per_shot * 128 <= budget_bytes:
+    if B <= 128:
         return B
     return None
 
 
 @functools.partial(jax.jit, static_argnames=("maxIter", "clip_llr",
                                              "msg_dtype", "block_b",
-                                             "interpret"))
+                                             "schedule", "interpret"))
 def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
                              maxIter: int, clip_llr: float = 20.0,
-                             msg_dtype=jnp.bfloat16, block_b: int = None,
+                             msg_dtype=jnp.float32, block_b: int = None,
+                             schedule: str = "flooding",
                              interpret: bool = False):
     """VMEM-resident BP decode. Same arguments/returns as
     ops.bp_lift.decode_batch_lift (damping fixed at 1.0 — the engine falls
-    back to the XLA layouts for damped decoding).
+    back to the XLA layouts for damped decoding); schedule="layered"
+    selects the serial time-layered sweep of decode_batch_lift_layered.
+
+    Output note: ``values`` of CONVERGED shots are their final (post-
+    convergence) posteriors, not the frozen-at-convergence ones — ``hard``
+    carries the frozen decisions (latched in-kernel as packed bits), and
+    no caller consumes converged shots' posteriors (see module docstring).
 
     block_b: shots per VMEM block; None uses viable_block_b (which callers
     should consult first — a graph too large for a legal block raises)."""
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule: {schedule!r}")
     B = syndrome.shape[0]
     dt = jnp.dtype(msg_dtype)
     ell, mm, T, NB, EB = g.ell, g.mm, g.T, g.NB, len(g.eb_pb)
@@ -251,15 +368,21 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
     syn_grid = syndrome.T.reshape(T, ell, mm, B).transpose(1, 2, 0, 3)
     syn_grid = syn_grid.astype(jnp.int32)
     prior_in = g.prior_grid[..., None]                    # (NB,e,m,T,1) f32
-    cmask_in = g.cmask[..., None].astype(jnp.float32)     # (EB,e,m,T,1)
-    # masks stay f32: they are only ever compared (mk > 0.5), and Mosaic
-    # crashes on bf16 comparisons
+    # per-edge masks bit-packed over the edge axis (int32 — Mosaic cannot
+    # reduce/shift unsigned); see module docstring for why not f32 slabs
+    wcm = -(-EB // 32)
+    cmw = jnp.stack([
+        sum(g.cmask[e].astype(jnp.int32) << (e % 32)
+            for e in range(w * 32, min((w + 1) * 32, EB)))
+        for w in range(wcm)])                             # (wcm,e,m,T)
+    cmaskw_in = cmw[..., None]                            # (wcm,e,m,T,1)
     alpha_in = alpha_seq.astype(jnp.float32)
 
     meta = (g.eb_pb, g.eb_cx, g.eb_cy, g.eb_o, NB)
-    kernel = functools.partial(_bp_kernel, meta, maxIter, clip_llr, dt)
+    kernel = functools.partial(_bp_kernel, meta, maxIter, clip_llr, dt,
+                               schedule)
     grid = (B // Bb,)
-    vals, done, iters = pl.pallas_call(
+    vals, done, iters, hardpack = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -267,7 +390,7 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NB, ell, mm, T, 1), lambda i: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((EB, ell, mm, T, 1), lambda i: (0, 0, 0, 0, 0),
+            pl.BlockSpec((wcm, ell, mm, T, 1), lambda i: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -278,25 +401,40 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((ell, mm, T, Bb), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NB, ell, mm, T, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((ell, mm, T, B), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((EB, ell, mm, T, Bb), dt),
-            pltpu.VMEM((NB, ell, mm, T, Bb), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=128 << 20),
         interpret=interpret,
-    )(syn_grid, prior_in, cmask_in, alpha_in)
+    )(syn_grid, prior_in, cmaskw_in, alpha_in)
 
+    conv = done[0] > 0
     flat = vals.reshape(NB * ell * mm * T, B)
     vals_n = jnp.take(flat, g.out_gather, axis=0)         # (n, B)
     prior_f = prior.astype(jnp.float32)
     vals_n = jnp.where(g.residual[:, None], prior_f[:, None], vals_n)
-    cand = (vals_n < 0.0).astype(jnp.int8)
-    return dict(hard=cand.T, converged=done[0] > 0, values=vals_n.T,
+    # frozen decisions for converged shots come from the packed latch;
+    # unconverged shots decide from their final posteriors
+    slot = g.out_gather.astype(jnp.int32)
+    pb_of = slot // (ell * mm * T)
+    rest = slot % (ell * mm * T)
+    hp_flat = hardpack.reshape(ell * mm * T, B)
+    hard_frozen = (jnp.take(hp_flat, rest, axis=0)
+                   >> pb_of[:, None]) & 1                 # (n, B)
+    hard_frozen = jnp.where(g.residual[:, None],
+                            (prior_f[:, None] < 0.0).astype(jnp.int32),
+                            hard_frozen)
+    hard_final = (vals_n < 0.0).astype(jnp.int32)
+    cand = jnp.where(conv[None, :], hard_frozen, hard_final).astype(jnp.int8)
+    return dict(hard=cand.T, converged=conv, values=vals_n.T,
                 iterations=iters[0])

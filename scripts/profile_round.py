@@ -22,8 +22,9 @@ from functools import partial
 from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, get_code
 from qldpc_tpu.ops import sampler
 from qldpc_tpu.ops.bp import alpha_schedule, decode_batch
-from qldpc_tpu.ops.bp_lift import decode_batch_lift
-from qldpc_tpu.ops.bp_lift_pallas import decode_batch_lift_pallas
+from qldpc_tpu.ops.bp_lift import decode_batch_lift, decode_batch_lift_layered
+from qldpc_tpu.ops.bp_lift_pallas import (decode_batch_lift_pallas,
+                                          viable_block_b)
 from qldpc_tpu.ops.osd import osd_batch
 from qldpc_tpu.parallel.engine import _make_basis, make_round_fn
 from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
@@ -66,60 +67,75 @@ def main():
     key = make_key(0)
 
     use_pallas = jax.default_backend() != "cpu"
-    samp = jax.jit(lambda k: sampler.trial_batch(
-        k, p, dz.maps, dx.maps, circ.num_error_locs, batch=B))
+    # decoder bundles travel as jit ARGUMENTS (baked closure constants
+    # exceed the remote-compile request limit for [[288]], HTTP 413)
+    samp = jax.jit(lambda k, mz, mx: sampler.trial_batch(
+        k, p, mz, mx, circ.num_error_locs, batch=B))
     out, _ = timed("sample + syndrome (both bases)",
-                   lambda k: {n: v.sum() for n, v in samp(k).items()}, key)
-    syn_z = jax.device_get(samp(key)["syndrome_z"])
+                   lambda k, mz, mx: {n: v.sum() for n, v in
+                                      samp(k, mz, mx).items()},
+                   key, dz.maps, dx.maps)
+    syn_z = samp(key, dz.maps, dx.maps)["syndrome_z"]
 
-    def bp_small(s, dt):  # reduce outputs on device: honest remote timing
-        r = decode_batch(dz.graph, s, dz.prior, dz.alpha_seq, maxIter,
+    def bp_small(s, d, dt):  # reduce outputs on device: honest remote timing
+        r = decode_batch(d.graph, s, d.prior, d.alpha_seq, maxIter,
                          msg_dtype=dt)
         return (r["converged"].sum(), r["hard"].sum(), r["values"].sum(),
                 r["iterations"].max())
     bp_out, _ = timed("BP Z-basis f32",
-                      jax.jit(partial(bp_small, dt=jnp.float32)), syn_z)
+                      jax.jit(partial(bp_small, dt=jnp.float32)), syn_z, dz)
     conv = float(bp_out[0]) / B
     print(f"{'':34s} (BP Z convergence {conv:.2%})")
     bp_out, _ = timed("BP Z-basis bf16",
-                      jax.jit(partial(bp_small, dt=jnp.bfloat16)), syn_z)
+                      jax.jit(partial(bp_small, dt=jnp.bfloat16)), syn_z, dz)
     print(f"{'':34s} (BP Z bf16 convergence {float(bp_out[0]) / B:.2%})")
 
     if dz.lifted is not None:
-        def bp_lift_small(s, dt):
-            r = decode_batch_lift(dz.lifted, s, dz.prior, dz.alpha_seq,
+        def bp_lift_small(s, d, dt):
+            r = decode_batch_lift(d.lifted, s, d.prior, d.alpha_seq,
                                   maxIter, msg_dtype=dt)
             return (r["converged"].sum(), r["hard"].sum(),
                     r["values"].sum(), r["iterations"].max())
         timed("BP Z lifted bf16",
-              jax.jit(partial(bp_lift_small, dt=jnp.bfloat16)), syn_z)
-        if use_pallas:
-            def bp_pallas_small(s, dt):
-                r = decode_batch_lift_pallas(dz.lifted, s, dz.prior,
-                                             dz.alpha_seq, maxIter,
+              jax.jit(partial(bp_lift_small, dt=jnp.bfloat16)), syn_z, dz)
+
+        def bp_layer_small(s, d, dt):
+            r = decode_batch_lift_layered(d.lifted, s, d.prior, d.alpha_seq,
+                                          maxIter, msg_dtype=dt)
+            return (r["converged"].sum(), r["hard"].sum(),
+                    r["values"].sum(), r["iterations"].max())
+        bp_out, _ = timed("BP Z layered f32 (XLA)",
+                          jax.jit(partial(bp_layer_small, dt=jnp.float32)),
+                          syn_z, dz)
+        print(f"{'':34s} (layered convergence "
+              f"{float(bp_out[0]) / B:.2%})")
+        if use_pallas and viable_block_b(dz.lifted, B=B) is not None:
+            def bp_pallas_small(s, d, dt):
+                r = decode_batch_lift_pallas(d.lifted, s, d.prior,
+                                             d.alpha_seq, maxIter,
                                              msg_dtype=dt)
                 return (r["converged"].sum(), r["hard"].sum(),
                         r["values"].sum(), r["iterations"].max())
             bp_out, _ = timed("BP Z pallas f32 (engine path)",
                               jax.jit(partial(bp_pallas_small,
-                                              dt=jnp.float32)), syn_z)
+                                              dt=jnp.float32)), syn_z, dz)
             print(f"{'':34s} (pallas convergence "
                   f"{float(bp_out[0]) / B:.2%})")
 
-    def osd_small(s, v, h):
-        r = osd_batch(dz.H, dz.HT_bf16, s, v, h, K=dz.K, order=osd_order,
-                      num_test=dz.num_test, use_pallas=use_pallas,
-                      rank=dz.rank)
+    def osd_small(s, v, h, d):
+        r = osd_batch(d.H, d.HT_bf16, s, v, h, K=d.K, order=osd_order,
+                      num_test=d.num_test, use_pallas=use_pallas,
+                      rank=d.rank)
         return (r["solution"].sum(), r["valid"].sum(),
                 r["rank_deficient"].sum())
-    bp_full = jax.jit(lambda s: decode_batch(
-        dz.graph, s, dz.prior, dz.alpha_seq, maxIter, msg_dtype=jnp.bfloat16))
-    r = bp_full(jnp.asarray(syn_z))
+    bp_full = jax.jit(lambda s, d: decode_batch(
+        d.graph, s, d.prior, d.alpha_seq, maxIter, msg_dtype=jnp.bfloat16))
+    r = bp_full(syn_z, dz)
     # keep inputs resident on device: host->device transfer of the 18MB
     # posterior array would otherwise dominate the remote-tunnel timing
     vals, hard = r["values"], r["hard"]
     out, _ = timed("OSD Z-basis (full batch)", jax.jit(osd_small),
-                   jnp.asarray(syn_z), vals, hard)
+                   syn_z, vals, hard, dz)
     print(f"{'':34s} (OSD valid {float(out[1]) / B:.2%}, "
           f"rank_deficient {int(out[2])})")
 

@@ -1,10 +1,17 @@
-"""VMEM-resident Pallas lifted-BP kernel vs the XLA lifted decoder.
+"""VMEM-resident Pallas lifted-BP kernel vs the XLA lifted decoders.
 
-Interpret mode on CPU checks the kernel algebra: bfloat16 (the production
-message dtype on TPU) must be BIT-exact against ops/bp_lift.py; float32
-agrees to FMA-contraction rounding (decisions, convergence flags, and
-iteration counts exact — XLA fuses multiply-adds inside the jitted lift
-that interpret-mode Pallas evaluates as separate ops)."""
+Interpret mode on CPU checks the kernel algebra: bfloat16 must be BIT-exact
+against ops/bp_lift.py; float32 agrees to FMA-contraction rounding
+(decisions, convergence flags, and iteration counts exact — XLA fuses
+multiply-adds inside the jitted lift that interpret-mode Pallas evaluates
+as separate ops).
+
+Posterior caveat: the kernel freezes converged shots' HARD decisions as
+packed bits (one int32 slab) instead of freezing the full posterior block,
+so converged shots' ``values`` are their final (post-convergence)
+posteriors — compared only on unconverged shots here. ``hard`` (frozen),
+``converged`` and ``iterations`` must match everywhere.
+"""
 import numpy as np
 
 import jax.numpy as jnp
@@ -12,7 +19,8 @@ import jax.numpy as jnp
 from qldpc_tpu import (SyndromeCircuit, build_decoding_matrices,
                        channel_llrs, get_code)
 from qldpc_tpu.ops.bp import alpha_schedule
-from qldpc_tpu.ops.bp_lift import LiftedGraph, decode_batch_lift
+from qldpc_tpu.ops.bp_lift import (LiftedGraph, decode_batch_lift,
+                                   decode_batch_lift_layered)
 from qldpc_tpu.ops.bp_lift_pallas import decode_batch_lift_pallas
 
 
@@ -34,6 +42,20 @@ def _setup(p=0.003, cycles=3, B=32, seed=1):
     return out
 
 
+def _check(a, b, basis, dt, exact_vals):
+    for k in ("hard", "converged", "iterations"):
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), (
+            basis, dt, k)
+    conv = np.asarray(a["converged"])
+    va = np.asarray(a["values"])[~conv]
+    vb = np.asarray(b["values"])[~conv]
+    if exact_vals:
+        assert np.array_equal(va, vb), (basis, dt, "not bit-exact")
+    else:
+        rel = np.abs(va - vb) / np.maximum(np.abs(va), 1e-9)
+        assert rel.size == 0 or rel.max() < 1e-2, (basis, rel.max())
+
+
 def test_kernel_matches_xla_lift():
     data = _setup()
     seq = jnp.asarray(alpha_schedule("dynamical", 12))
@@ -43,15 +65,21 @@ def test_kernel_matches_xla_lift():
             b = decode_batch_lift_pallas(lg, syn, prior, seq, 12,
                                          msg_dtype=dt, block_b=16,
                                          interpret=True)
-            for k in ("hard", "converged", "iterations"):
-                assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), (
-                    basis, dt, k)
-            va, vb = np.asarray(a["values"]), np.asarray(b["values"])
-            if dt == jnp.bfloat16:
-                assert np.array_equal(va, vb), (basis, "bf16 not bit-exact")
-            else:
-                rel = np.abs(va - vb) / np.maximum(np.abs(va), 1e-9)
-                assert rel.max() < 1e-2, (basis, rel.max())
+            _check(a, b, basis, dt, exact_vals=(dt == jnp.bfloat16))
+
+
+def test_kernel_layered_matches_xla_layered():
+    data = _setup(p=0.004, cycles=4, B=32)
+    seq = jnp.asarray(alpha_schedule("dynamical", 10))
+    for basis, (lg, syn, prior) in data.items():
+        a = decode_batch_lift_layered(lg, syn, prior, seq, 10,
+                                      msg_dtype=jnp.float32)
+        b = decode_batch_lift_pallas(lg, syn, prior, seq, 10,
+                                     msg_dtype=jnp.float32, block_b=16,
+                                     schedule="layered", interpret=True)
+        _check(a, b, basis, jnp.float32, exact_vals=False)
+        # at least some shots must converge for the comparison to bite
+        assert np.asarray(a["converged"]).any()
 
 
 def test_kernel_alpha_modes_and_blocks():
@@ -66,23 +94,23 @@ def test_kernel_alpha_modes_and_blocks():
         b = decode_batch_lift_pallas(lg, syn, prior, seq, 8,
                                      msg_dtype=jnp.bfloat16, block_b=8,
                                      interpret=True)
-        for k in ("hard", "converged", "iterations", "values"):
-            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), (
-                mode, k)
+        _check(a, b, mode, jnp.bfloat16, exact_vals=True)
 
 
 def test_viable_block_b_gate():
-    """The only Mosaic-legal general batch block is 128; graphs whose
-    resident state exceeds the budget must be rejected (the engine then
-    takes the XLA lift path — the [[288]] case)."""
+    """Graphs whose resident state exceeds the VMEM budget must be
+    rejected (the engine then takes the XLA lift path). Since the round-4
+    packed-mask/merged-posterior diet, [[288]]-shaped graphs FIT (~100MB);
+    a hypothetical double-depth graph still does not."""
     from types import SimpleNamespace
     from qldpc_tpu.ops.bp_lift_pallas import viable_block_b
     small = SimpleNamespace(ell=12, mm=6, T=14, NB=10, eb_pb=[None] * 35)
     assert viable_block_b(small) == 128          # [[144]]-shaped: fits
     big = SimpleNamespace(ell=12, mm=12, T=20, NB=10, eb_pb=[None] * 35)
-    assert viable_block_b(big) is None           # [[288]]-shaped: too big
-    # sub-128 batches pay for the padded 128-lane tile: a too-big graph is
-    # rejected at ANY batch (measured VMEM OOM at B=64 on v5e —
-    # scripts/bp288_chunked_ab.py)
-    assert viable_block_b(big, B=64) is None
+    assert viable_block_b(big) == 128            # [[288]]-shaped: fits now
+    assert viable_block_b(big, B=1024) == 128
+    assert viable_block_b(big, B=64) == 64
+    huge = SimpleNamespace(ell=12, mm=12, T=40, NB=10, eb_pb=[None] * 35)
+    assert viable_block_b(huge) is None          # double-depth: too big
+    assert viable_block_b(huge, B=64) is None    # padded to 128 lanes anyway
     assert viable_block_b(small, B=64) == 64     # small graph: any batch
