@@ -378,6 +378,107 @@ def make_multi_code_round_fn(specs):
     return multi_round
 
 
+def _calibrate_basis_sequences(matrices, error_rate, alpha_mode,
+                               alvarado_alpha, maxIter,
+                               alpha_estimation_trials=None,
+                               alpha_estimation_bins=50, base_seed=0,
+                               estimation_plot_dir=None, plot_tag=""):
+    """Per-basis min-sum alpha sequences for one code: the calibration
+    dispatch of the reference engine (engine.py:228-344), shared by
+    run_simulation and run_multi_code_simulation so the data-driven modes
+    exist once. Returns (seq_z, seq_x, result_extra).
+
+    On a multi-process runtime the fitted sequences are broadcast from
+    process 0 (mesh replicate() requires bit-identical decoder bundles on
+    every process; per-process curve_fit numerics are not trusted)."""
+    llrs_z = channel_llrs(matrices["channel_probsZ"])
+    llrs_x = channel_llrs(matrices["channel_probsX"])
+    result_extra: Dict[str, Any] = {}
+    tag = f"{plot_tag}_" if plot_tag else ""
+    alpha_z = alpha_x = 1.0
+    if alpha_mode == "alvarado":
+        if alvarado_alpha is None:
+            trials_z = _calib_trials(alpha_estimation_trials,
+                                     matrices["HdecZ"].shape[1], error_rate)
+            trials_x = _calib_trials(alpha_estimation_trials,
+                                     matrices["HdecX"].shape[1], error_rate)
+            alpha_z, r2z = calibrate.estimate_alpha_alvarado(
+                matrices["HdecZ"], error_rate, trials=trials_z,
+                bins=alpha_estimation_bins, llrs=llrs_z,
+                key=jax.random.key(base_seed + 1),
+                plot_path=_plot_path(estimation_plot_dir, error_rate,
+                                     tag + "alvarado", "z"))
+            alpha_x, r2x = calibrate.estimate_alpha_alvarado(
+                matrices["HdecX"], error_rate, trials=trials_x,
+                bins=alpha_estimation_bins, llrs=llrs_x,
+                key=jax.random.key(base_seed + 2),
+                plot_path=_plot_path(estimation_plot_dir, error_rate,
+                                     tag + "alvarado", "x"))
+            result_extra.update(alpha_r2_z=r2z, alpha_r2_x=r2x)
+        elif isinstance(alvarado_alpha, (list, tuple, np.ndarray)) and \
+                len(alvarado_alpha) == 2:
+            alpha_z, alpha_x = float(alvarado_alpha[0]), float(alvarado_alpha[1])
+            result_extra.update(alpha_r2_z=None, alpha_r2_x=None)
+        else:
+            alpha_z = alpha_x = float(alvarado_alpha)
+            result_extra.update(alpha_r2_z=None, alpha_r2_x=None)
+        seq_z = alpha_schedule("alvarado", maxIter, alpha_z)
+        seq_x = alpha_schedule("alvarado", maxIter, alpha_x)
+    elif alpha_mode == "alvarado-autoregressive":
+        if alvarado_alpha is not None:
+            raise ValueError(
+                "alvarado_alpha must be None for alvarado-autoregressive")
+        trials_z = _calib_trials(alpha_estimation_trials,
+                                 matrices["HdecZ"].shape[1], error_rate)
+        trials_x = _calib_trials(alpha_estimation_trials,
+                                 matrices["HdecX"].shape[1], error_rate)
+        av_z, r2v_z, fb_z = calibrate.estimate_alpha_alvarado_autoregressive(
+            matrices["HdecZ"], error_rate, maxIter, trials=trials_z,
+            bins=alpha_estimation_bins, llrs=llrs_z,
+            key=jax.random.key(base_seed + 1),
+            plot_dir=estimation_plot_dir,
+            plot_prefix=f"{tag}autoregressive_{_fmt(error_rate)}_z",
+            return_fallbacks=True)
+        av_x, r2v_x, fb_x = calibrate.estimate_alpha_alvarado_autoregressive(
+            matrices["HdecX"], error_rate, maxIter, trials=trials_x,
+            bins=alpha_estimation_bins, llrs=llrs_x,
+            key=jax.random.key(base_seed + 2),
+            plot_dir=estimation_plot_dir,
+            plot_prefix=f"{tag}autoregressive_{_fmt(error_rate)}_x",
+            return_fallbacks=True)
+        result_extra.update(alpha_values_z=av_z, alpha_values_x=av_x,
+                            alpha_r2_values_z=r2v_z, alpha_r2_values_x=r2v_x,
+                            n_alpha_fallbacks_z=fb_z, n_alpha_fallbacks_x=fb_x,
+                            n_alpha_fallbacks=fb_z + fb_x)
+        seq_z = alpha_schedule("alvarado-autoregressive", maxIter, av_z)
+        seq_x = alpha_schedule("alvarado-autoregressive", maxIter, av_x)
+    elif alpha_mode == "dynamical":
+        seq_z = seq_x = alpha_schedule("dynamical", maxIter)
+    else:
+        raise ValueError(f"Unsupported alpha_mode: {alpha_mode}")
+
+    if getattr(jax, "process_count", lambda: 1)() > 1 and \
+            alpha_mode != "dynamical":
+        from jax.experimental import multihost_utils
+        seq_z, seq_x = (np.asarray(a) for a in
+                        multihost_utils.broadcast_one_to_all(
+                            (np.asarray(seq_z, np.float32),
+                             np.asarray(seq_x, np.float32))))
+    result_extra["alpha_z"] = alpha_z
+    result_extra["alpha_x"] = alpha_x
+    return seq_z, seq_x, result_extra
+
+
+def _crossing_take(a: np.ndarray, remaining: int) -> int:
+    """The reference's exact sequential stopping rule within one round:
+    number of trials up to AND including the one where the
+    ``remaining``-th logical error occurs (reference engine.py:442-464
+    processes trials strictly in order and terminates at the crossing
+    trial). ``a`` must contain at least ``remaining`` errors."""
+    cum = np.cumsum(a)
+    return int(np.searchsorted(cum, remaining)) + 1
+
+
 def run_multi_code_simulation(
     codes, error_rate, num_cycles=None, maxIter=50, osd_order=0,
     alpha_mode="dynamical", alvarado_alpha=None,
@@ -385,6 +486,8 @@ def run_multi_code_simulation(
     batch_size: Optional[int] = None,
     rounds_per_dispatch: Optional[int] = None,
     precomputed_matrices=None, base_seed=None, verbose: bool = True,
+    mesh=None, alpha_estimation_trials=None, alpha_estimation_bins=50,
+    estimation_plot_dir=None,
 ) -> Dict[str, Dict[str, Any]]:
     """Several codes' Monte-Carlo LER estimates from ONE jitted launch per
     round (BASELINE config 3 as a public API, not just a bench script).
@@ -401,16 +504,17 @@ def run_multi_code_simulation(
         names.
       num_cycles: per-code cycles; None uses each code's distance.
       precomputed_matrices: optional list, aligned with ``codes``.
-      alpha_mode: "dynamical" or "alvarado" with an explicit
-        ``alvarado_alpha`` (calibration fitting is per-code work — run
-        run_simulation for the data-driven modes).
+      alpha_mode: any run_simulation mode — "dynamical", "alvarado" (an
+        explicit ``alvarado_alpha`` or data-driven per-code fits), or
+        "alvarado-autoregressive" (per-code fitted sequences).
+      mesh: optional shot mesh; by default the launch is sharded over all
+        devices like run_simulation (steady-state stopping consumes only
+        per-code psum scalar counts; per-shot flags are gathered solely in
+        each code's crossing round).
 
     Returns {code.name: result dict} with the run_simulation keys;
     ``shots_per_sec`` is that code's own decoded-trial rate, and
     ``combined_shots_per_sec`` the launch-level aggregate across codes.
-    Single-process meshes only (the multi-code launch is a single-chip
-    throughput feature; shard the shot axis per code via run_simulation
-    for multi-host runs).
 
     Cost note: every launch decodes a batch for EVERY code (one compiled
     program), so a code that reaches its target early keeps being decoded
@@ -420,21 +524,14 @@ def run_multi_code_simulation(
     """
     if base_seed is None:
         base_seed = int(np.random.randint(0, 2**31))
+    if getattr(jax, "process_count", lambda: 1)() > 1:
+        from jax.experimental import multihost_utils
+        base_seed = int(multihost_utils.broadcast_one_to_all(
+            np.int64(base_seed)))
     if max_trials is None:
         max_trials = 1_000_000 if target_logical_errors else 10_000
     stop_on_errors = (target_logical_errors is not None
                       and target_logical_errors > 0)
-    if alpha_mode == "dynamical":
-        alpha = 1.0
-    elif alpha_mode == "alvarado":
-        if alvarado_alpha is None:
-            raise ValueError(
-                "alvarado mode here needs an explicit alvarado_alpha; use "
-                "run_simulation for data-driven calibration")
-        alpha = float(alvarado_alpha)
-    else:
-        raise ValueError(f"unsupported alpha_mode for the multi-code "
-                         f"launch: {alpha_mode!r}")
     if batch_size is None:
         batch_size = 512 if jax.default_backend() != "cpu" else 64
     if rounds_per_dispatch is None:
@@ -443,28 +540,39 @@ def run_multi_code_simulation(
     from ..models.bb import get_code
     resolved = [get_code(c) if isinstance(c, str) else c for c in codes]
 
-    specs, decs, names = [], [], []
-    seq_cache = alpha_schedule(alpha_mode, maxIter, alpha)
+    specs, decs, names, extras = [], [], [], []
     for i, c in enumerate(resolved):
         cycles = num_cycles or c.distance or 12
         circ = SyndromeCircuit(c, num_cycles=cycles)
         M = (precomputed_matrices[i] if precomputed_matrices else
              build_decoding_matrices(circ, c.Lx, c.Lz, error_rate))
         M = ensure_sampler_metadata(M, circ, c.Lx, c.Lz, error_rate)
-        dz = _make_basis(circ, M, "Z", seq_cache, osd_order=osd_order)
-        dx = _make_basis(circ, M, "X", seq_cache, osd_order=osd_order)
+        name = getattr(c, "name", f"code{i}")
+        seq_z, seq_x, extra = _calibrate_basis_sequences(
+            M, error_rate, alpha_mode, alvarado_alpha, maxIter,
+            alpha_estimation_trials, alpha_estimation_bins,
+            base_seed + 101 * i, estimation_plot_dir,
+            plot_tag=name.replace(" ", ""))
+        dz = _make_basis(circ, M, "Z", seq_z, osd_order=osd_order)
+        dx = _make_basis(circ, M, "X", seq_x, osd_order=osd_order)
         specs.append(dict(dec_z=dz, dec_x=dx, n_locs=circ.num_error_locs,
                           error_rate=error_rate, batch=batch_size,
                           maxIter=maxIter, osd_order=osd_order))
         decs.append((dz, dx))
-        names.append(getattr(c, "name", f"code{i}"))
+        names.append(name)
+        extras.append(extra)
 
     base_fn = make_multi_code_round_fn(specs)
     fn = base_fn if rounds_per_dispatch == 1 else \
         make_scanned_round_fn(base_fn, rounds_per_dispatch)
 
-    jfn = jax.jit(fn)
-    round_shots = batch_size * rounds_per_dispatch
+    mesh = mesh if mesh is not None else (
+        shot_mesh() if len(jax.devices()) > 1 else None)
+    n_dev = len(mesh.devices.ravel()) if mesh is not None else 1
+    sharded = shard_rounds(jax.jit(fn), mesh)
+    gather_flags = make_flag_gather(mesh)
+    decs = replicate(decs, mesh)
+    round_shots = batch_size * n_dev * rounds_per_dispatch
     key = make_key(base_seed)
     n = len(resolved)
     trials = [0] * n
@@ -475,25 +583,42 @@ def run_multi_code_simulation(
     steady = [0] * n
     round_idx = 0
     while not all(done):
-        outs = jfn(jax.random.fold_in(key, round_idx), decs)
+        outs = sharded(jax.random.fold_in(key, round_idx), decs)
         round_idx += 1
+        # one host transfer for every live code's psum scalar counts
+        counts = jax.device_get([
+            {k: o[k] for k in ("z_err_count", "x_err_count",
+                               "any_err_count")}
+            for o in outs])
         for i, o in enumerate(outs):
             if done[i]:
                 continue
             take = min(round_shots, max_trials - trials[i])
-            flags = jax.device_get(
-                {k: o[k][:take] for k in ("z_err", "x_err", "any_err")})
-            z, x, a = flags["z_err"], flags["x_err"], flags["any_err"]
-            if (stop_on_errors
-                    and tot[i] + int(a.sum()) >= target_logical_errors):
-                cum = np.cumsum(a)
-                need = tot_errs_target(target_logical_errors, tot[i])
-                take = int(np.searchsorted(cum, need)) + 1
-                z, x, a = z[:take], x[:take], a[:take]
+            a_cnt = int(counts[i]["any_err_count"])
+            crossing = (stop_on_errors
+                        and tot[i] + a_cnt >= target_logical_errors)
+            if crossing or take < round_shots:
+                # the crossing (or truncated final) round needs per-shot
+                # flags in global shot order for the exact sequential rule
+                g = jax.device_get(gather_flags(
+                    {k: o[k] for k in ("z_err", "x_err", "any_err")}))
+                z = np.asarray(g["z_err"][:take])
+                x = np.asarray(g["x_err"][:take])
+                a = np.asarray(g["any_err"][:take])
+                if stop_on_errors and \
+                        tot[i] + int(a.sum()) >= target_logical_errors:
+                    take = _crossing_take(
+                        a, tot_errs_target(target_logical_errors, tot[i]))
+                    z, x, a = z[:take], x[:take], a[:take]
+                z_inc, x_inc, a_inc = int(z.sum()), int(x.sum()), int(a.sum())
+            else:
+                z_inc = int(counts[i]["z_err_count"])
+                x_inc = int(counts[i]["x_err_count"])
+                a_inc = a_cnt
             trials[i] += take
-            z_errs[i] += int(z.sum())
-            x_errs[i] += int(x.sum())
-            tot[i] += int(a.sum())
+            z_errs[i] += z_inc
+            x_errs[i] += x_inc
+            tot[i] += a_inc
             if (stop_on_errors and tot[i] >= target_logical_errors) or \
                     trials[i] >= max_trials:
                 done[i] = True
@@ -529,8 +654,9 @@ def run_multi_code_simulation(
                               else trials[i] / max(elapsed, 1e-9)),
             "combined_shots_per_sec": combined_rate,
             "elapsed_sec": elapsed,
-            "num_devices": 1,
+            "num_devices": n_dev,
         }
+        results[nm].update(extras[i])
     return results
 
 
@@ -573,68 +699,12 @@ def run_simulation(
     if alpha_mode is None:
         alpha_mode = "dynamical" if use_dynamic_alpha else "alvarado"
 
-    result_extra: Dict[str, Any] = {}
-    alpha_z = alpha_x = 1.0
-    if alpha_mode == "alvarado":
-        if alvarado_alpha is None:
-            trials_z = _calib_trials(alpha_estimation_trials,
-                                     matrices["HdecZ"].shape[1], error_rate)
-            trials_x = _calib_trials(alpha_estimation_trials,
-                                     matrices["HdecX"].shape[1], error_rate)
-            alpha_z, r2z = calibrate.estimate_alpha_alvarado(
-                matrices["HdecZ"], error_rate, trials=trials_z,
-                bins=alpha_estimation_bins, llrs=llrs_z,
-                key=jax.random.key(base_seed + 1),
-                plot_path=_plot_path(estimation_plot_dir, error_rate,
-                                     "alvarado", "z"))
-            alpha_x, r2x = calibrate.estimate_alpha_alvarado(
-                matrices["HdecX"], error_rate, trials=trials_x,
-                bins=alpha_estimation_bins, llrs=llrs_x,
-                key=jax.random.key(base_seed + 2),
-                plot_path=_plot_path(estimation_plot_dir, error_rate,
-                                     "alvarado", "x"))
-            result_extra.update(alpha_r2_z=r2z, alpha_r2_x=r2x)
-        elif isinstance(alvarado_alpha, (list, tuple, np.ndarray)) and \
-                len(alvarado_alpha) == 2:
-            alpha_z, alpha_x = float(alvarado_alpha[0]), float(alvarado_alpha[1])
-            result_extra.update(alpha_r2_z=None, alpha_r2_x=None)
-        else:
-            alpha_z = alpha_x = float(alvarado_alpha)
-            result_extra.update(alpha_r2_z=None, alpha_r2_x=None)
-        seq_z = alpha_schedule("alvarado", maxIter, alpha_z)
-        seq_x = alpha_schedule("alvarado", maxIter, alpha_x)
-    elif alpha_mode == "alvarado-autoregressive":
-        if alvarado_alpha is not None:
-            raise ValueError(
-                "alvarado_alpha must be None for alvarado-autoregressive")
-        trials_z = _calib_trials(alpha_estimation_trials,
-                                 matrices["HdecZ"].shape[1], error_rate)
-        trials_x = _calib_trials(alpha_estimation_trials,
-                                 matrices["HdecX"].shape[1], error_rate)
-        av_z, r2v_z, fb_z = calibrate.estimate_alpha_alvarado_autoregressive(
-            matrices["HdecZ"], error_rate, maxIter, trials=trials_z,
-            bins=alpha_estimation_bins, llrs=llrs_z,
-            key=jax.random.key(base_seed + 1),
-            plot_dir=estimation_plot_dir,
-            plot_prefix=f"autoregressive_{_fmt(error_rate)}_z",
-            return_fallbacks=True)
-        av_x, r2v_x, fb_x = calibrate.estimate_alpha_alvarado_autoregressive(
-            matrices["HdecX"], error_rate, maxIter, trials=trials_x,
-            bins=alpha_estimation_bins, llrs=llrs_x,
-            key=jax.random.key(base_seed + 2),
-            plot_dir=estimation_plot_dir,
-            plot_prefix=f"autoregressive_{_fmt(error_rate)}_x",
-            return_fallbacks=True)
-        result_extra.update(alpha_values_z=av_z, alpha_values_x=av_x,
-                            alpha_r2_values_z=r2v_z, alpha_r2_values_x=r2v_x,
-                            n_alpha_fallbacks_z=fb_z, n_alpha_fallbacks_x=fb_x,
-                            n_alpha_fallbacks=fb_z + fb_x)
-        seq_z = alpha_schedule("alvarado-autoregressive", maxIter, av_z)
-        seq_x = alpha_schedule("alvarado-autoregressive", maxIter, av_x)
-    elif alpha_mode == "dynamical":
-        seq_z = seq_x = alpha_schedule("dynamical", maxIter)
-    else:
-        raise ValueError(f"Unsupported alpha_mode: {alpha_mode}")
+    seq_z, seq_x, result_extra = _calibrate_basis_sequences(
+        matrices, error_rate, alpha_mode, alvarado_alpha, maxIter,
+        alpha_estimation_trials, alpha_estimation_bins, base_seed,
+        estimation_plot_dir)
+    alpha_z = result_extra.pop("alpha_z")
+    alpha_x = result_extra.pop("alpha_x")
 
     if scopt:
         trials_z = _calib_trials(None, matrices["HdecZ"].shape[1], error_rate)
@@ -659,19 +729,6 @@ def run_simulation(
         # engine.py:389 TODO) not yet consumed by the decoder
         result_extra.update(beta_z=beta_z, beta_x=beta_x,
                             beta_r2_z=br2z, beta_r2_x=br2x)
-
-    if getattr(jax, "process_count", lambda: 1)() > 1 and \
-            alpha_mode != "dynamical":
-        # The data-driven calibration fits run per-process numerics
-        # (histogram + curve_fit); replicate() below assumes bit-identical
-        # bundles on every process, so broadcast the fitted sequences from
-        # process 0 — like the seed — instead of trusting cross-process
-        # float determinism.
-        from jax.experimental import multihost_utils
-        seq_z, seq_x = (np.asarray(a) for a in
-                        multihost_utils.broadcast_one_to_all(
-                            (np.asarray(seq_z, np.float32),
-                             np.asarray(seq_x, np.float32))))
 
     dec_z = _make_basis(circ, matrices, "Z", seq_z, osd_order=osd_order)
     dec_x = _make_basis(circ, matrices, "X", seq_x, osd_order=osd_order)
@@ -770,13 +827,11 @@ def run_simulation(
             z = np.asarray(g["z_err"][:take])
             x = np.asarray(g["x_err"][:take])
             a = np.asarray(g["any_err"][:take])
-            if crossing:
-                cum = np.cumsum(a)
-                cross_idx = np.searchsorted(cum, tot_errs_target(
+            if crossing and a.size and \
+                    int(a.sum()) + tot_errs >= target_logical_errors:
+                take = _crossing_take(a, tot_errs_target(
                     target_logical_errors, tot_errs))
-                if cum.size and cum[-1] + tot_errs >= target_logical_errors:
-                    take = int(cross_idx) + 1
-                    z, x, a = z[:take], x[:take], a[:take]
+                z, x, a = z[:take], x[:take], a[:take]
             z_inc, x_inc, a_inc = int(z.sum()), int(x.sum()), int(a.sum())
             rd = (int(np.asarray(g["z_rankdef"][:take]).sum())
                   + int(np.asarray(g["x_rankdef"][:take]).sum()))

@@ -126,13 +126,21 @@ def shard_rounds(round_fn: Callable, mesh: Optional[Mesh]) -> Callable:
     (single device) counts are computed locally and the wrapper is
     otherwise transparent.
     """
+    def add_counts(out, reduce_fn):
+        """Attach <flag>_count totals; recurses into the multi-code
+        list-of-dicts round output."""
+        if isinstance(out, (list, tuple)):
+            return type(out)(add_counts(o, reduce_fn) for o in out)
+        out = dict(out)
+        for k in COUNT_KEYS:
+            if k in out:
+                out[k + "_count"] = reduce_fn(out[k])
+        return out
+
     if mesh is None or len(mesh.devices.ravel()) == 1:
         def single(key, *rest):
-            out = dict(round_fn(key, *rest))
-            for k in COUNT_KEYS:
-                if k in out:
-                    out[k + "_count"] = jnp.sum(out[k].astype(jnp.int32))
-            return out
+            return add_counts(round_fn(key, *rest),
+                              lambda v: jnp.sum(v.astype(jnp.int32)))
 
         # jit the wrapper: the counts must fuse into the round program, not
         # cost extra eager dispatches on the dispatch-rate-limited chip
@@ -140,12 +148,22 @@ def shard_rounds(round_fn: Callable, mesh: Optional[Mesh]) -> Callable:
 
     def per_device(key, *rest):
         dev = jax.lax.axis_index(SHOT_AXIS)
-        out = dict(round_fn(jax.random.fold_in(key, dev), *rest))
-        counts = {
-            k + "_count": jax.lax.psum(jnp.sum(out[k].astype(jnp.int32)),
-                                       SHOT_AXIS)
-            for k in COUNT_KEYS if k in out}
-        return out, counts
+        out = round_fn(jax.random.fold_in(key, dev), *rest)
+        with_counts = add_counts(
+            out, lambda v: jax.lax.psum(jnp.sum(v.astype(jnp.int32)),
+                                        SHOT_AXIS))
+
+        # split flags (shot-sharded) from counts (replicated) so the
+        # out_specs prefix stays a 2-tuple regardless of nesting
+        def split(o):
+            if isinstance(o, (list, tuple)):
+                fs, cs = zip(*(split(x) for x in o))
+                return type(o)(fs), type(o)(cs)
+            f = {k: v for k, v in o.items() if not k.endswith("_count")}
+            c = {k: v for k, v in o.items() if k.endswith("_count")}
+            return f, c
+
+        return split(with_counts)
 
     # check_vma=False: decode loops initialize while_loop carries from
     # constants, which the varying-manual-axes checker would reject.
@@ -157,10 +175,15 @@ def shard_rounds(round_fn: Callable, mesh: Optional[Mesh]) -> Callable:
     except TypeError:  # older JAX: the kwarg was called check_rep
         fn = shard_map(per_device, check_rep=False, **kw)
 
+    def merge(f, c):
+        if isinstance(f, (list, tuple)):
+            return type(f)(merge(a, b) for a, b in zip(f, c))
+        f = dict(f)
+        f.update(c)
+        return f
+
     def sharded(key, *rest):
         flags, counts = fn(key, *rest)
-        flags = dict(flags)
-        flags.update(counts)
-        return flags
+        return merge(flags, counts)
 
     return jax.jit(sharded)
