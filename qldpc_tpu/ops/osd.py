@@ -104,11 +104,11 @@ def _gather_pack(H, colsK, Kp: int, chunk: int = 256,
 
 
 @partial(jax.jit, static_argnames=("K", "order", "num_test", "use_pallas",
-                                   "rank", "return_solution"))
+                                   "rank", "return_solution", "stage1_cols"))
 def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
               num_test: int = 0, use_pallas: bool = False, rank: int = None,
               basis_cols=None, logical_pack=None,
-              return_solution: bool = True):
+              return_solution: bool = True, stage1_cols: int = None):
     """Batched OSD post-processing of failed-BP shots.
 
     Args:
@@ -124,6 +124,16 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
       basis_cols: optional (R,) int32 — a fixed column basis of H (e.g.
         gf2.column_basis(H)), appended after the K reliability-ordered
         columns so elimination always reaches full rank.
+      stage1_cols: staged-elimination stage-1 width for the Pallas path.
+        None = auto (768 when K >= 2048, else single-stage); 0 disables.
+        Large decoding graphs ([[288,12,18]]: K=3072, per-shot exit depths
+        p50 ~1500) pay for every block's full-width scan; the staged path
+        scans a narrow stage-1 prefix first, sorts covered shots ahead,
+        and reruns ONLY the uncovered tail at full width in chunk-gated
+        lax.while_loop passes, so full-width cost tracks the actual
+        uncovered count. Results are consumed-output-identical to the
+        single-stage scan (covered shots' post-validity pivots carry zero
+        correction bits; see eliminate_blocks docstring).
       logical_pack: optional (n,) int32 — column j's logical action packed
         as bits (bit i = L[i, j]). When given, the output gains
         ``logical_delta_packed`` (B,) int32: the packed logical action of
@@ -245,16 +255,69 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
                 [HpT_pref, jnp.broadcast_to(HbT[None], (B,) + HbT.shape)],
                 axis=1) if basis_words is not None else HpT_pref
 
-        # Eliminate over the reliability prefix ONLY: the rank-completing
-        # basis words are dead weight in the hot XOR (the validity exit
-        # stops long before them on every physical shot), so the ~W_basis
-        # extra words per column step are paid only inside the cond below,
-        # which fires iff some shot's prefix failed to cover its syndrome.
-        # Results are bit-identical either way: covered shots never read
-        # the basis; uncovered shots take the rerun's full-width answer.
-        hp1, s1, prow1, used1, cf1 = eliminate_blocks(
-            HpT_pref, s_pad, K, m, block_shots=S, rank=rank)
-        if basis_words is not None:
+        if stage1_cols is None:
+            stage1_cols = 768 if (Kp >= 2048 and B % 32 == 0) else 0
+        staged = bool(stage1_cols) and stage1_cols < K and B % 32 == 0
+        if staged:
+            # --- staged scan: narrow stage-1 + compacted full-width tail ---
+            K1 = stage1_cols
+            W1 = -(-K1 // 32)
+            S1 = pick_block_shots(M_pad, -(-W1 // 8) * 8)
+            while B % S1:
+                S1 //= 2
+            _, s1, prow1, used1, cf1 = eliminate_blocks(
+                HpT_pref[:, :W1, :], s_pad, K1, m, block_shots=S1, rank=rank)
+            unsat1 = jnp.sum(jnp.where(~used1[:, :m], s1[:, :m], 0), axis=1)
+            covered = unsat1 == 0                              # (B,)
+            prow1p = jnp.pad(prow1, ((0, 0), (0, KT - K1)),
+                             constant_values=-1)
+            # coverage sort (stable): shots needing the full-width scan
+            # occupy a contiguous tail, so full-width cost tracks the
+            # ACTUAL uncovered count at chunk granularity
+            order2 = jnp.argsort(~covered, stable=True)        # (B,)
+            u0 = B - jnp.sum((~covered).astype(jnp.int32))
+            CH = 32
+            W_f8 = -(-W_full // 8) * 8
+            S_r = min(CH, pick_block_shots(M_pad, W_f8))
+            while CH % S_r:
+                S_r //= 2
+
+            def chunk_body(state):
+                c0, s_o, prow_o, used_o, cf_o = state
+                idx = jax.lax.dynamic_slice_in_dim(order2, c0, CH)
+                Hp_c = jnp.take(HpT_pref, idx, axis=0)
+                if basis_words is not None:
+                    Hp_c = jnp.concatenate(
+                        [Hp_c,
+                         jnp.broadcast_to(HbT[None], (CH,) + HbT.shape)],
+                        axis=1)
+                _, s2, prow2, used2, cf2 = eliminate_blocks(
+                    Hp_c, jnp.take(s_pad, idx, axis=0), KT, m,
+                    block_shots=S_r, rank=rank)
+                return (c0 + CH, s_o.at[idx].set(s2),
+                        prow_o.at[idx].set(prow2),
+                        used_o.at[idx].set(used2), cf_o.at[idx].set(cf2))
+
+            # boundary-chunk covered shots are rerun too: their full-width
+            # outputs are consumed-identical (post-validity pivots carry
+            # zero syndrome bits), so overwriting is safe
+            c_start = (u0 // CH) * CH
+            _, s_out, prow_of_col, used_p, cf = jax.lax.while_loop(
+                lambda st: st[0] < B, chunk_body,
+                (c_start, s1, prow1p, used1, cf1))
+        else:
+            # Eliminate over the reliability prefix ONLY: the rank-completing
+            # basis words are dead weight in the hot XOR (the validity exit
+            # stops long before them on every physical shot), so the ~W_basis
+            # extra words per column step are paid only inside the cond below,
+            # which fires iff some shot's prefix failed to cover its syndrome.
+            # Results are bit-identical either way: covered shots never read
+            # the basis; uncovered shots take the rerun's full-width answer.
+            hp1, s1, prow1, used1, cf1 = eliminate_blocks(
+                HpT_pref, s_pad, K, m, block_shots=S, rank=rank)
+        if staged:
+            pass  # staged path set s_out/prow_of_col/used_p/cf above
+        elif basis_words is not None:
             unsat1 = jnp.sum(jnp.where(~used1[:, :m], s1[:, :m], 0), axis=1)
             bad = unsat1 != 0                                     # (B,)
             nbad = jnp.sum(bad.astype(jnp.int32))

@@ -264,3 +264,70 @@ def test_pallas_basis_rerun_small_and_full():
         for key in ("solution", "valid", "rank_deficient"):
             assert np.array_equal(np.asarray(got[key]),
                                   np.asarray(want[key])), (path, key)
+
+
+def test_staged_elimination_matches_single_stage():
+    """stage1_cols engages the staged scan: narrow stage-1 prefix,
+    coverage sort, and a chunk-gated full-width rerun of the uncovered
+    tail. Every consumed output must match both the single-stage pallas
+    path and the XLA path. The case is built so stage 1 covers most
+    shots, a few need columns past stage1_cols (tail rerun), and one
+    needs the appended basis (beyond K)."""
+    import qldpc_tpu.ops.osd_pallas as op
+    from qldpc_tpu.models.gf2 import column_basis
+    from qldpc_tpu.ops.osd import osd_batch
+
+    rng = np.random.default_rng(9)
+    m, n, K, B = 24, 256, 96, 32
+    H = np.zeros((m, n), np.uint8)
+    for j in range(n - 5):
+        H[rng.choice(20, 3, replace=False), j] = 1
+    # rows 20/21 covered ONLY by "deep" columns sorted past stage1_cols=64
+    deep = [n - 5, n - 4, n - 3, n - 2]
+    H[20, deep[0]] = H[1, deep[0]] = 1
+    H[21, deep[1]] = H[2, deep[1]] = 1
+    H[20, deep[2]] = H[3, deep[2]] = 1
+    H[21, deep[3]] = H[4, deep[3]] = 1
+    H[22, n - 1] = 1          # row 22 covered only by the last column ...
+    llr = np.full((B, n), 10.0, np.float32)
+    pool = rng.choice(n - 5, 70, replace=False)
+    llr[:, pool] = rng.uniform(1.0, 2.0, (B, 70))
+    llr[:, deep] = rng.uniform(2.5, 3.0, (B, 4))   # sorted ~positions 70-73
+    llr[:, n - 1] = 30.0      # ... which sorts beyond the K-prefix
+    errors = np.zeros((B, n), np.int8)
+    for b in range(28):
+        errors[b, rng.choice(pool, 2, replace=False)] = 1
+    errors[28, deep[0]] = 1   # syndrome on row 20: needs the tail rerun
+    errors[29, deep[1]] = 1
+    errors[30, n - 1] = 1     # needs the appended basis
+    errors[31, deep[2]] = errors[31, int(pool[0])] = 1
+    syn = (errors @ H.T) % 2
+    hard = np.zeros((B, n), np.int8)
+    args = (jnp.asarray(H), jnp.asarray(H.T, dtype=jnp.bfloat16),
+            jnp.asarray(syn), jnp.asarray(llr), jnp.asarray(hard))
+    basis = jnp.asarray(column_basis(H))
+
+    want = osd_batch(*args, K=K, order=0, num_test=0, use_pallas=False,
+                     basis_cols=basis)
+    assert np.asarray(want["valid"]).all()
+
+    orig = op.eliminate_blocks
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    got = {}
+    op.eliminate_blocks = interp
+    try:
+        for s1 in (0, 64):
+            got[s1] = osd_batch(*args, K=K, order=0, num_test=0,
+                                use_pallas=True, basis_cols=basis,
+                                stage1_cols=s1)
+    finally:
+        op.eliminate_blocks = orig
+    for key in ("solution", "valid", "rank_deficient"):
+        assert np.array_equal(np.asarray(got[64][key]),
+                              np.asarray(want[key])), ("staged-vs-xla", key)
+        assert np.array_equal(np.asarray(got[0][key]),
+                              np.asarray(want[key])), ("single-vs-xla", key)
