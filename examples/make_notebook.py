@@ -197,6 +197,32 @@ res = run_simulation(
 print({k: res[k] for k in ("logical_error_rate", "num_trials",
                            "logical_errors", "num_devices")})"""),
     (MD, """\
+## 8. Seeing the structure: circuit diagram and Tanner graph
+
+The reference notebook draws its [[4,2,2]] circuit with Qiskit and its
+Tanner graph with networkx; this framework renders both straight from its
+own compiled objects (`qldpc_tpu/utils/gallery.py`, matplotlib only — the
+same functions regenerate the full `info_vis/` explainer gallery via
+`python info.py --gallery`).
+
+First, one syndrome-extraction cycle around X-check 0 and Z-check 0, read
+directly off the static gate tensors: prep, the interleaved depth-8 CNOT
+schedule, measurement."""),
+    (CODE, """\
+import tempfile
+from IPython.display import Image, display
+from qldpc_tpu.utils.gallery import fig_syndrome_circuit, fig_tanner_graph
+
+tmp = tempfile.mkdtemp()
+display(Image(fig_syndrome_circuit(circ, tmp)))"""),
+    (MD, """\
+And the code's Tanner graph — every Z check touches 6 data qubits, every
+data qubit sits in at most 3 Z checks; BP runs message passing on exactly
+this bipartite structure (lifted to the circuit level by the decoding
+matrices of step 3)."""),
+    (CODE, """\
+display(Image(fig_tanner_graph(code, tmp)))"""),
+    (MD, """\
 ## Where to go next
 
 - `examples/toy_422.py` — the hand-checkable [[4,2,2]] worked example

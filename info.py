@@ -20,8 +20,18 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cache-dir", default="matrix_cache")
     ap.add_argument("--out-dir", default="info_vis")
+    ap.add_argument("--gallery", action="store_true",
+                    help="regenerate the 12-diagram explainer gallery "
+                         "(reference info_vis/01..12) from live framework "
+                         "objects; see qldpc_tpu/utils/gallery.py")
+    ap.add_argument("--gallery-code", default="[[72, 12, 6]]")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
+    if args.gallery:
+        from qldpc_tpu.utils.gallery import generate_gallery
+        generate_gallery(args.out_dir, code_name=args.gallery_code,
+                         validation_json="validation_results.json")
+        return
     files = sorted(glob.glob(os.path.join(args.cache_dir, "matrices_*.npz")))
     if not files:
         print(f"no cached matrices in {args.cache_dir}")
