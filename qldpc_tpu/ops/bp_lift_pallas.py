@@ -299,30 +299,40 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
 
+def _state_bytes(g: LiftedGraph, msg_dtype, dbuf: int) -> int:
+    """Resident VMEM bytes for one 128-lane batch block: the EB edge
+    slabs + the NB posterior output block + packed masks/prior/syndrome/
+    hardpack windows; ``dbuf`` = 2 counts the revolving input/output
+    windows twice (multi-step grids double-buffer them)."""
+    dt = jnp.dtype(msg_dtype)
+    slab = g.ell * g.mm * g.T * 128 * max(dt.itemsize, 4)
+    EB, NB = len(g.eb_pb), g.NB
+    wcm = -(-EB // 32)
+    # msg scratch + vals out + prior in + packed cmask in + syn in +
+    # hardpack out + done/iters (negligible)
+    slabs = EB + NB * dbuf + NB + wcm + dbuf + dbuf
+    return slabs * slab
+
+
+_BUDGET_BYTES = 110 << 20
+
+
 def viable_block_b(g: LiftedGraph, msg_dtype=jnp.float32,
-                   budget_bytes: int = 110 << 20, B: int = None):
+                   budget_bytes: int = _BUDGET_BYTES, B: int = None):
     """Legal VMEM batch block for this graph (and batch size), or None.
 
     Mosaic requires the minor (batch) block dimension to be a multiple of
     128 or the full array dimension, and pads sub-128 batches to a full
     128-lane tile, so every slab is budgeted at 128 lanes regardless of B
     (measured: a 64-shot [[288]] call allocated the full 128-padded state,
-    scripts/bp288_chunked_ab.py). Resident state per block: the EB edge
-    slabs + the NB posterior output block + packed masks/prior/syndrome/
-    hardpack windows, with input/output windows that revolve across grid
-    steps counted twice (double buffering). [[288,12,18]] fits at ~100MB
-    since round 4 (packed masks + merged posterior scratch); graphs beyond
-    the budget return None and take the XLA lift path."""
-    dt = jnp.dtype(msg_dtype)
-    slab = g.ell * g.mm * g.T * 128 * max(dt.itemsize, 4)
-    EB, NB = len(g.eb_pb), g.NB
-    wcm = -(-EB // 32)
-    multi_step = B is not None and B > 128
-    dbuf = 2 if multi_step else 1
-    # msg scratch + vals out + prior in + packed cmask in + syn in +
-    # hardpack out + done/iters (negligible)
-    slabs = EB + NB * dbuf + NB + wcm + dbuf + dbuf
-    if slabs * slab > budget_bytes:
+    scripts/bp288_chunked_ab.py). [[288,12,18]] fits at ~83MB single-step
+    since round 4 (packed masks + merged posterior scratch); when a
+    B > 128 batch's double-buffered multi-step grid would overflow but a
+    single-step block fits, decode_batch_lift_pallas runs grid-1 calls
+    under lax.map instead (full 128-wide blocks — NOT the sub-128
+    chunking that was measured useless). Graphs whose single block
+    exceeds the budget return None and take the XLA lift path."""
+    if _state_bytes(g, msg_dtype, dbuf=1) > budget_bytes:
         return None
     if B is None or B % 128 == 0:
         return 128
@@ -381,42 +391,61 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
     meta = (g.eb_pb, g.eb_cx, g.eb_cy, g.eb_o, NB)
     kernel = functools.partial(_bp_kernel, meta, maxIter, clip_llr, dt,
                                schedule)
-    grid = (B // Bb,)
-    vals, done, iters, hardpack = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((ell, mm, T, Bb), lambda i: (0, 0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NB, ell, mm, T, 1), lambda i: (0, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wcm, ell, mm, T, 1), lambda i: (0, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((NB, ell, mm, T, Bb), lambda i: (0, 0, 0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bb), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bb), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ell, mm, T, Bb), lambda i: (0, 0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((NB, ell, mm, T, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
-            jax.ShapeDtypeStruct((ell, mm, T, B), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((EB, ell, mm, T, Bb), dt),
-        ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=128 << 20),
-        interpret=interpret,
-    )(syn_grid, prior_in, cmaskw_in, alpha_in)
+
+    def call(syn_block, nsteps: int):
+        Bc = syn_block.shape[-1]
+        return pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((ell, mm, T, Bb), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, ell, mm, T, 1), lambda i: (0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((wcm, ell, mm, T, 1), lambda i: (0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((NB, ell, mm, T, Bb),
+                             lambda i: (0, 0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ell, mm, T, Bb), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NB, ell, mm, T, Bc), jnp.float32),
+                jax.ShapeDtypeStruct((1, Bc), jnp.int32),
+                jax.ShapeDtypeStruct((1, Bc), jnp.int32),
+                jax.ShapeDtypeStruct((ell, mm, T, Bc), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((EB, ell, mm, T, Bb), dt),
+            ],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=128 << 20),
+            interpret=interpret,
+        )(syn_block, prior_in, cmaskw_in, alpha_in)
+
+    nb = B // Bb
+    if nb > 1 and _state_bytes(g, msg_dtype, dbuf=2) > _BUDGET_BYTES:
+        # big graph: a multi-step grid double-buffers its revolving
+        # windows past the VMEM budget — run grid-1 calls per 128-wide
+        # block under lax.map instead (blocks are serial either way)
+        syn_chunks = jnp.moveaxis(
+            syn_grid.reshape(ell, mm, T, nb, Bb), 3, 0)
+        vals_c, done_c, iters_c, hp_c = jax.lax.map(
+            lambda sc: call(sc, 1), syn_chunks)
+        vals = jnp.moveaxis(vals_c, 0, 4).reshape(NB, ell, mm, T, B)
+        done = done_c.transpose(1, 0, 2).reshape(1, B)
+        iters = iters_c.transpose(1, 0, 2).reshape(1, B)
+        hardpack = jnp.moveaxis(hp_c, 0, 3).reshape(ell, mm, T, B)
+    else:
+        vals, done, iters, hardpack = call(syn_grid, nb)
 
     conv = done[0] > 0
     flat = vals.reshape(NB * ell * mm * T, B)

@@ -446,13 +446,27 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
     return out
 
 
-def _eliminate_xla(Hp, residual, K: int, m: int, B: int):
-    """XLA fori_loop swap-free Gauss-Jordan (CPU / fallback path). Touches
+def _eliminate_xla(Hp, residual, K: int, m: int, B: int,
+                   exit_on_valid: bool = True):
+    """XLA while_loop swap-free Gauss-Jordan (CPU / fallback path). Touches
     the full (B, m, W) matrix in HBM every step — use the Pallas kernel on
-    TPU for the VMEM-resident version."""
+    TPU for the VMEM-resident version.
+
+    Validity early exit (same argument as the Pallas kernel's, see
+    eliminate_blocks): the scan stops once EVERY shot's residual syndrome
+    lies in its pivot span — from there on every new pivot's correction bit
+    is zero, so all consumed outputs are identical to the full scan. The
+    order-w reprocess needs the fully-reduced matrix, but it only runs when
+    some shot is INVALID (osd_batch's cond), and the exit only fires when
+    every shot is valid — so an early-exited matrix is never reprocessed."""
     row_ids = jnp.arange(m, dtype=jnp.int32)[None, :]            # (1, m)
 
-    def elim_step(col, state):
+    def elim_cond(carry):
+        col, _ = carry
+        return col < K
+
+    def elim_step(carry):
+        col, state = carry
         Hp, s, used, prow_of_col = state
         w = col // 32
         bit = (col % 32).astype(jnp.uint32)
@@ -469,11 +483,20 @@ def _eliminate_xla(Hp, residual, K: int, m: int, B: int):
         used = used | ((row_ids == piv[:, None]) & has[:, None])
         prow_of_col = jax.lax.dynamic_update_slice_in_dim(
             prow_of_col, jnp.where(has, piv, -1)[:, None], col, axis=1)
-        return Hp, s, used, prow_of_col
+        if exit_on_valid:
+            all_valid = jnp.all(
+                jnp.sum(jnp.where(~used, s, 0), axis=1) == 0)
+            next_col = jnp.where(all_valid, K, col + 1)
+        else:
+            next_col = col + 1
+        return next_col, (Hp, s, used, prow_of_col)
 
     init = (Hp, residual, jnp.zeros((B, m), bool),
             jnp.full((B, K), -1, jnp.int32))
-    return jax.lax.fori_loop(0, K, elim_step, init)
+    start = (jnp.where(jnp.all(residual == 0), K, 0).astype(jnp.int32)
+             if exit_on_valid else jnp.int32(0))
+    _, out = jax.lax.while_loop(elim_cond, elim_step, (start, init))
+    return out
 
 
 def _reprocess(Hp, s_red, used, prow_of_col, is_pivot, e0_perm, valid0,

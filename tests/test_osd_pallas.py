@@ -21,7 +21,8 @@ def test_eliminate_blocks_matches_xla():
     Kp = -(-K // 32) * 32
     Hp = _gather_pack(jnp.asarray(H), cols, Kp)          # (B, m, W)
 
-    xHp, xs, xused, xprow = _eliminate_xla(Hp, residual, K, m, B)
+    xHp, xs, xused, xprow = _eliminate_xla(Hp, residual, K, m, B,
+                                       exit_on_valid=False)
 
     M_pad = 128
     HpT = jnp.pad(jnp.transpose(Hp, (0, 2, 1)),
@@ -141,7 +142,8 @@ def test_left_skip_matches_xla_wide():
     Kp = -(-K // 32) * 32
     Hp = _gather_pack(jnp.asarray(H), cols, Kp)
 
-    xHp, xs, xused, xprow = _eliminate_xla(Hp, residual, K, m, B)
+    xHp, xs, xused, xprow = _eliminate_xla(Hp, residual, K, m, B,
+                                       exit_on_valid=False)
 
     M_pad = 128
     HpT = jnp.pad(jnp.transpose(Hp, (0, 2, 1)),
