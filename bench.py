@@ -1,6 +1,10 @@
 """Benchmark: decoded shots/sec/chip on [[144,12,12]] (BASELINE.json metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+"extra" carries the [[288,12,18]] flagship-scale number and a per-stage
+timing/roofline audit (sample / BP / OSD ms, BP effective VMEM bandwidth,
+HBM roofline fractions) so "is it actually fast" is answerable from the
+bench artifact alone (VERDICT r3 item 4).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md) and
 numba is not installed here, so the single-core baseline is MEASURED with a
@@ -17,12 +21,15 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
+
+HBM_GBPS = 819.0  # v5e HBM roofline
 
 
 def estimate_python_baseline(H, prior, syndromes, maxIter=20) -> float:
@@ -70,118 +77,257 @@ def estimate_python_baseline(H, prior, syndromes, maxIter=20) -> float:
     return ntr / (time.time() - t0)
 
 
-def main():
-    import jax
-
-    from qldpc_tpu import (SyndromeCircuit, build_decoding_matrices, get_code)
+def _build(code_name, p, maxIter, osd_order):
+    from qldpc_tpu import SyndromeCircuit, build_decoding_matrices, get_code
     from qldpc_tpu.ops.bp import alpha_schedule
-    from qldpc_tpu.parallel.engine import _make_basis, make_round_fn
+    from qldpc_tpu.parallel.engine import _make_basis
     from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
                                          save_matrices)
 
-    code = get_code("[[144, 12, 12]]")
-    cycles, p = 12, 0.004
+    code = get_code(code_name)
+    cycles = code.distance
     circ = SyndromeCircuit(code, num_cycles=cycles)
     key_c = compute_cache_key(code.Hx, code.Hz, code.Lx, code.Lz, cycles, p)
     M = load_matrices("matrix_cache", key_c)
     if M is None:
         M = build_decoding_matrices(circ, code.Lx, code.Lz, p)
         save_matrices("matrix_cache", key_c, M)
-
-    import os
-    # maxIter 50 = the reference ENGINE's own default (reference
-    # engine.py:196; its driver main.py:44 sets 20). Measured same-session
-    # on v5e (scripts/maxiter_sweep.py, 2026-08-21): 20 -> 9,140 shots/s at
-    # 80.6% unconverged; 30 -> 9,988 at 67.5%; 50 -> 10,735 at 50.1% — BP
-    # iterations in the VMEM kernel are ~3 orders cheaper than the OSD
-    # calls they avoid. LER at mi50 is the configuration the archives were
-    # produced with (VALIDATION.md).
-    maxIter, osd_order = int(os.environ.get("BENCH_MAXITER", "50")), 2
-    # 1024 is the measured sweet spot on v5e: the round has a ~19ms fixed
-    # cost (dispatch share + in-program per-round overhead) that larger
-    # batches amortize — 512: 7.9k, 1024: 9.3k, 2048: 9.4k shots/s
-    # (within drift noise of 1024, at twice the working set and compile
-    # time), measured 2026-08-20 back-to-back.
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     seq = alpha_schedule("dynamical", maxIter)
     dec_z = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
     dec_x = _make_basis(circ, M, "X", seq, osd_order=osd_order)
-    # fuse several rounds per dispatch: the TPU transport's fixed ~30ms
-    # per-dispatch floor is a dispatch-RATE limit that pipelining alone
-    # cannot hide (scripts/round_breakdown.py)
-    rpd = int(os.environ.get("BENCH_RPD", "4"))
-    from qldpc_tpu.parallel.engine import make_scanned_round_fn
+    return code, circ, M, dec_z, dec_x, seq
+
+
+def bench_config(code_name, p, batch, rpd, maxIter, osd_order,
+                 bp_variant="minsum", seconds=8.0):
+    """Measured decode throughput for one code config. Returns
+    (shots_per_sec, errors_seen, total_rounds, built objects)."""
+    import jax
+
+    from qldpc_tpu.parallel.engine import (make_key, make_round_fn,
+                                           make_scanned_round_fn)
+    from qldpc_tpu.utils.benchloop import timed_windows
+
+    code, circ, M, dec_z, dec_x, seq = _build(code_name, p, maxIter,
+                                              osd_order)
     base_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, p, batch,
-                            maxIter, osd_order)
+                            maxIter, osd_order, bp_variant=bp_variant)
     fn = jax.jit(base_fn if rpd == 1
                  else make_scanned_round_fn(base_fn, rpd))
-    from qldpc_tpu.parallel.engine import make_key
-    from qldpc_tpu.utils.benchloop import timed_windows
     key = make_key(0)
     errs_box = [0]
     shots_per_sec, total_rounds = timed_windows(
         lambda i: fn(jax.random.fold_in(key, i), dec_z, dec_x),
-        batch * rpd,
+        batch * rpd, seconds=seconds,
         on_round=lambda out: errs_box.__setitem__(
             0, errs_box[0] + int(out["any_err"].sum())))
     assert 0 < errs_box[0] < total_rounds * batch * rpd, \
         "decode produced degenerate flags"
+    return shots_per_sec, errs_box[0], total_rounds, (circ, M, dec_z, dec_x)
 
-    # MEASURED single-core native baseline: the C++ min-sum+OSD trial
-    # decoder (qldpc_tpu/native/gf2kernels.cc baseline_decode_trials —
-    # same decode semantics as the reference's Numba per-trial path,
-    # validated to agree exactly with the JAX decoder's convergence
-    # decisions and to satisfy every syndrome). Best-of-3 windows: the
-    # shared host's CPU throughput drifts ~2x run-to-run, and the best
-    # window is the closest estimate of actual single-core capability.
-    # Cached on disk keyed by config, merged (not clobbered) with any
-    # existing entries; delete the file to re-measure.
-    import sys
+
+def native_baseline(cache_key, M, seq, maxIter, osd_order, n_syn=48):
+    """Measured single-core native C++ baseline (trials/s, both bases),
+    disk-cached per config; see module docstring."""
     cache_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_native_baseline.json")
-    cache_key = f"[[144,12,12]]_maxIter{maxIter}_osd{osd_order}"
     try:
         with open(cache_file) as f:
             cache = json.load(f)
     except (OSError, ValueError):
         cache = {}
     if cache_key in cache:
-        baseline_rate = cache[cache_key]
+        return cache[cache_key]
+    from qldpc_tpu.models.builder import channel_llrs
+    from qldpc_tpu.native.build import baseline_decode_native
+    H = (np.asarray(M["HdecZ"]) != 0).astype(np.uint8)
+    prior = channel_llrs(M["channel_probsZ"])
+    rng = np.random.default_rng(0)
+    err_patterns = (rng.random((n_syn, H.shape[1]))
+                    < M["channel_probsZ"]).astype(np.int8)
+    syns = ((err_patterns @ H.T) % 2).astype(np.uint8)
+    num_test = (osd_order + 10) if osd_order > 0 else 0
+    rates = []
+    for _ in range(3):
+        native = baseline_decode_native(H, prior, syns, maxIter, seq,
+                                        order=osd_order, num_test=num_test)
+        if native is None:  # no toolchain: python x75 estimate fallback
+            py = estimate_python_baseline(H, prior, syns[:2], maxIter)
+            rates.append(py * 75.0)
+            break
+        elapsed, _conv = native
+        rates.append(len(syns) / elapsed)
+    baseline_rate = max(rates) / 2.0  # a reference trial decodes BOTH bases
+    cache[cache_key] = baseline_rate
+    with open(cache_file, "w") as f:
+        json.dump(cache, f)
+    return baseline_rate
+
+
+def stage_audit(circ, dec_z, dec_x, p, batch, maxIter, osd_order,
+                round_shots_per_sec, bp_variant="minsum", reps=4):
+    """Same-session per-stage ms + roofline figures for the bench config.
+
+    BP utilization is reported two ways: HBM traffic of the VMEM-resident
+    kernel call as a fraction of the 819GB/s roofline (tiny by design —
+    the kernel's point is that per-iteration state never touches HBM), and
+    the kernel's EFFECTIVE VMEM bandwidth from the slab-touch model
+    (~5 edge-stack traversals per iteration). OSD is characterized by its
+    measured full-batch ms and its share of the round (the elimination's
+    per-step floor and exit-depth data live in CLAUDE.md /
+    scripts/osd288_probe.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qldpc_tpu.ops import sampler
+    from qldpc_tpu.ops.bp_lift_pallas import (decode_batch_lift_pallas,
+                                              viable_block_b)
+    from qldpc_tpu.ops.osd import osd_batch
+    from qldpc_tpu.parallel.engine import make_key
+
+    key = make_key(1)
+
+    def timed(fn, *args):
+        out = jax.device_get(fn(*args))
+        t0 = time.time()
+        for _ in range(reps):
+            out = jax.device_get(fn(*args))
+        return out, (time.time() - t0) / reps
+
+    samp = jax.jit(lambda k, mz, mx: sampler.trial_batch(
+        k, p, mz, mx, circ.num_error_locs, batch=batch))
+    _, t_sample = timed(lambda k, mz, mx: {n: v.sum() for n, v in
+                                           samp(k, mz, mx).items()},
+                        key, dec_z.maps, dec_x.maps)
+    syn_z = samp(key, dec_z.maps, dec_x.maps)["syndrome_z"]
+
+    audit = {"sample_ms": round(t_sample * 1e3, 2)}
+    g = dec_z.lifted
+    schedule = "layered" if bp_variant == "layered" else "flooding"
+    use_kernel = g is not None and \
+        viable_block_b(g, B=batch, schedule=schedule) is not None
+    if use_kernel:
+        bp_fn = jax.jit(lambda s, d: [v.sum() if hasattr(v, "sum") else v
+                                      for v in decode_batch_lift_pallas(
+                                          d.lifted, s, d.prior, d.alpha_seq,
+                                          maxIter, msg_dtype=jnp.float32,
+                                          schedule=schedule).values()])
+        bp_full = jax.jit(lambda s, d: decode_batch_lift_pallas(
+            d.lifted, s, d.prior, d.alpha_seq, maxIter,
+            msg_dtype=jnp.float32, schedule=schedule))
+        _, t_bp = timed(bp_fn, syn_z, dec_z)
+        audit["bp_ms_per_basis"] = round(t_bp * 1e3, 2)
+        # HBM traffic of the kernel call: syn in + posteriors/hardpack out
+        slab = g.ell * g.mm * g.T
+        hbm_bytes = (batch * slab * 4            # syndrome grid in
+                     + batch * slab * 4 * (g.NB + 1))  # vals + hardpack out
+        audit["bp_hbm_gbps"] = round(hbm_bytes / t_bp / 1e9, 1)
+        audit["bp_hbm_frac_of_roofline"] = round(
+            hbm_bytes / t_bp / 1e9 / HBM_GBPS, 4)
+        # effective VMEM bandwidth: ~5 traversals of the EB edge stack per
+        # iteration (check pass read, R write+roll, V accumulate, Q update
+        # read+write), upper-bounded by maxIter iterations per block
+        EB = len(g.eb_pb)
+        passes = 5 if schedule == "flooding" else 8
+        vmem_bytes = batch * slab * 4 * EB * passes * maxIter
+        audit["bp_vmem_eff_gbps_upper"] = round(vmem_bytes / t_bp / 1e9, 0)
+        r = bp_full(syn_z, dec_z)
+        vals, hard = r["values"], r["hard"]
+        audit["bp_unconverged_frac"] = round(
+            1.0 - float(jax.device_get(r["converged"].sum())) / batch, 3)
     else:
-        from qldpc_tpu.models.builder import channel_llrs
-        from qldpc_tpu.native.build import baseline_decode_native
-        H = (np.asarray(M["HdecZ"]) != 0).astype(np.uint8)
-        prior = channel_llrs(M["channel_probsZ"])
-        rng = np.random.default_rng(0)
-        err_patterns = (rng.random((48, H.shape[1]))
-                        < M["channel_probsZ"]).astype(np.int8)
-        syns = ((err_patterns @ H.T) % 2).astype(np.uint8)
-        num_test = (osd_order + 10) if osd_order > 0 else 0
-        rates = []
-        for _ in range(3):
-            native = baseline_decode_native(H, prior, syns, maxIter, seq,
-                                            order=osd_order,
-                                            num_test=num_test)
-            if native is None:  # no toolchain: python x75 estimate fallback
-                py = estimate_python_baseline(H, prior, syns[:2], maxIter)
-                rates.append(py * 75.0)
-                break
-            elapsed, _conv = native
-            rates.append(len(syns) / elapsed)
-        # a reference trial decodes BOTH bases; the measurement is one basis
-        baseline_rate = max(rates) / 2.0
-        cache[cache_key] = baseline_rate
-        with open(cache_file, "w") as f:
-            json.dump(cache, f)
+        from qldpc_tpu.ops.bp_lift import decode_batch_lift
+        bp_full = jax.jit(lambda s, d: decode_batch_lift(
+            d.lifted, s, d.prior, d.alpha_seq, maxIter,
+            msg_dtype=jnp.bfloat16))
+        _, t_bp = timed(lambda s, d: [v.sum() for v in
+                                      bp_full(s, d).values()], syn_z, dec_z)
+        audit["bp_ms_per_basis"] = round(t_bp * 1e3, 2)
+        # the XLA lift streams the edge-message stack through HBM
+        EB = len(g.eb_pb) if g is not None else dec_z.graph.dr
+        slab = (g.ell * g.mm * g.T) if g is not None else dec_z.graph.m
+        stream = batch * slab * 2 * EB * 15  # bf16, ~15 stack traversals
+        audit["bp_hbm_gbps"] = round(stream * maxIter / t_bp / 1e9, 1)
+        audit["bp_hbm_frac_of_roofline"] = round(
+            stream * maxIter / t_bp / 1e9 / HBM_GBPS, 3)
+        r = bp_full(syn_z, dec_z)
+        vals, hard = r["values"], r["hard"]
+
+    def osd_small(s, v, h, d):
+        r = osd_batch(d.H, d.HT_bf16, s, v, h, K=d.K, order=osd_order,
+                      num_test=d.num_test, use_pallas=True, rank=d.rank,
+                      basis_cols=d.basis_cols,
+                      logical_pack=d.logical_pack, return_solution=False)
+        return (r["logical_delta_packed"].sum(), r["valid"].sum(),
+                r["rank_deficient"].sum())
+    _, t_osd = timed(jax.jit(osd_small), syn_z, vals, hard, dec_z)
+    audit["osd_full_batch_ms_per_basis"] = round(t_osd * 1e3, 2)
+    round_ms = batch / round_shots_per_sec * 1e3
+    audit["round_ms_per_batch"] = round(round_ms, 2)
+    audit["osd_share_of_round_est"] = round(
+        min(1.0, 2 * t_osd * 1e3 / round_ms), 3)
+    audit["hbm_roofline_gbps"] = HBM_GBPS
+    return audit
+
+
+def main():
+    maxIter = int(os.environ.get("BENCH_MAXITER", "50"))
+    # 1024 is the measured sweet spot on v5e: the round has a ~19ms fixed
+    # cost (dispatch share + in-program per-round overhead) that larger
+    # batches amortize — 512: 7.9k, 1024: 9.3k, 2048: 9.4k shots/s
+    # (within drift noise of 1024), measured 2026-08-20 back-to-back.
+    # maxIter 50 = the reference ENGINE's own default (reference
+    # engine.py:196); measured sweep in CLAUDE.md.
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    rpd = int(os.environ.get("BENCH_RPD", "4"))
+    osd_order = 2
+    bp_variant = os.environ.get("BENCH_BP_VARIANT", "minsum")
+
+    shots_per_sec, _errs, _rounds, (circ, M, dec_z, dec_x) = bench_config(
+        "[[144, 12, 12]]", 0.004, batch, rpd, maxIter, osd_order,
+        bp_variant=bp_variant)
+
+    from qldpc_tpu.ops.bp import alpha_schedule
+    seq = alpha_schedule("dynamical", maxIter)
+    baseline_rate = native_baseline(
+        f"[[144,12,12]]_maxIter{maxIter}_osd{osd_order}", M, seq, maxIter,
+        osd_order)
     print(f"baseline: measured native single-core "
           f"{baseline_rate:.1f} trials/s (both-basis decode)",
           file=sys.stderr)
+
+    extra = {}
+    try:
+        audit = stage_audit(circ, dec_z, dec_x, 0.004, batch, maxIter,
+                            osd_order, shots_per_sec,
+                            bp_variant=bp_variant)
+        extra["stage_audit_[[144,12,12]]"] = audit
+    except Exception as e:  # pragma: no cover - audit must never kill bench
+        extra["stage_audit_error"] = repr(e)
+
+    if os.environ.get("BENCH_288", "1") != "0":
+        try:
+            b288 = int(os.environ.get("BENCH_288_BATCH", "256"))
+            rpd288 = int(os.environ.get("BENCH_288_RPD", "2"))
+            sps288, _e, _r, (c288, M288, dz288, dx288) = bench_config(
+                "[[288, 12, 18]]", 0.005, b288, rpd288, maxIter, osd_order,
+                bp_variant=bp_variant)
+            extra["[[288,12,18]]_p0.005_shots_per_sec"] = round(sps288, 1)
+            base288 = native_baseline(
+                f"[[288,12,18]]_maxIter{maxIter}_osd{osd_order}", M288, seq,
+                maxIter, osd_order, n_syn=6)
+            extra["[[288,12,18]]_vs_baseline"] = round(sps288 / base288, 1)
+            print(f"[[288]] baseline: {base288:.2f} trials/s; "
+                  f"TPU {sps288:,.0f} shots/s", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            extra["bench_288_error"] = repr(e)
 
     print(json.dumps({
         "metric": "decoded_shots_per_sec_per_chip_[[144,12,12]]",
         "value": round(shots_per_sec, 1),
         "unit": "shots/s",
         "vs_baseline": round(shots_per_sec / baseline_rate, 1),
+        "extra": extra,
     }))
 
 

@@ -303,9 +303,14 @@ def _state_bytes(g: LiftedGraph, msg_dtype, dbuf: int) -> int:
     """Resident VMEM bytes for one 128-lane batch block: the EB edge
     slabs + the NB posterior output block + packed masks/prior/syndrome/
     hardpack windows; ``dbuf`` = 2 counts the revolving input/output
-    windows twice (multi-step grids double-buffer them)."""
+    windows twice (multi-step grids double-buffer them). The scratch
+    slab's second-minor (T) dim is sublane-padded to a multiple of 8
+    (seen in the [[288]] allocation dump: f32[35,12,12,24,128] for
+    T=20); window allocations are unpadded, but budgeting everything at
+    the padded size buys the right-sized safety margin."""
     dt = jnp.dtype(msg_dtype)
-    slab = g.ell * g.mm * g.T * 128 * max(dt.itemsize, 4)
+    T8 = -(-g.T // 8) * 8
+    slab = g.ell * g.mm * T8 * 128 * max(dt.itemsize, 4)
     EB, NB = len(g.eb_pb), g.NB
     wcm = -(-EB // 32)
     # msg scratch + vals out + prior in + packed cmask in + syn in +
@@ -315,10 +320,17 @@ def _state_bytes(g: LiftedGraph, msg_dtype, dbuf: int) -> int:
 
 
 _BUDGET_BYTES = 110 << 20
+# the layered body spills ~32.5MB of vector registers on [[288]]-sized
+# slabs (measured: 132.1M of 128M, flooding fits) — budget layered
+# launches against a correspondingly reduced ceiling so [[288]]-scale
+# graphs keep the flooding kernel and [[144]]-scale graphs (validated on
+# hardware at B=512) keep both schedules
+_LAYERED_BUDGET_BYTES = 72 << 20
 
 
 def viable_block_b(g: LiftedGraph, msg_dtype=jnp.float32,
-                   budget_bytes: int = _BUDGET_BYTES, B: int = None):
+                   budget_bytes: int = None, B: int = None,
+                   schedule: str = "flooding"):
     """Legal VMEM batch block for this graph (and batch size), or None.
 
     Mosaic requires the minor (batch) block dimension to be a multiple of
@@ -332,6 +344,9 @@ def viable_block_b(g: LiftedGraph, msg_dtype=jnp.float32,
     under lax.map instead (full 128-wide blocks — NOT the sub-128
     chunking that was measured useless). Graphs whose single block
     exceeds the budget return None and take the XLA lift path."""
+    if budget_bytes is None:
+        budget_bytes = (_LAYERED_BUDGET_BYTES if schedule == "layered"
+                        else _BUDGET_BYTES)
     if _state_bytes(g, msg_dtype, dbuf=1) > budget_bytes:
         return None
     if B is None or B % 128 == 0:
@@ -367,7 +382,7 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
     dt = jnp.dtype(msg_dtype)
     ell, mm, T, NB, EB = g.ell, g.mm, g.T, g.NB, len(g.eb_pb)
     if block_b is None:
-        block_b = viable_block_b(g, msg_dtype, B=B)
+        block_b = viable_block_b(g, msg_dtype, B=B, schedule=schedule)
         if block_b is None:
             raise ValueError(
                 "graph state exceeds the VMEM budget at the only legal "
@@ -432,7 +447,9 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
         )(syn_block, prior_in, cmaskw_in, alpha_in)
 
     nb = B // Bb
-    if nb > 1 and _state_bytes(g, msg_dtype, dbuf=2) > _BUDGET_BYTES:
+    budget = (_LAYERED_BUDGET_BYTES if schedule == "layered"
+              else _BUDGET_BYTES)
+    if nb > 1 and _state_bytes(g, msg_dtype, dbuf=2) > budget:
         # big graph: a multi-step grid double-buffers its revolving
         # windows past the VMEM budget — run grid-1 calls per 128-wide
         # block under lax.map instead (blocks are serial either way)

@@ -40,15 +40,14 @@ from .mesh import make_flag_gather, replicate, shard_rounds, shot_mesh
 logger = logging.getLogger(__name__)
 
 
-def _pallas_bp_viable(lifted, B: int) -> bool:
+def _pallas_bp_viable(lifted, B: int, schedule: str = "flooding") -> bool:
     """True when the VMEM-resident BP kernel has a Mosaic-legal batch block
-    whose state fits VMEM for this graph and batch. [[288]] fits at NO
-    batch on v5e: the batch rides the minor (lane) axis, which Mosaic pads
-    to 128, so even a whole-batch 64-shot call costs 128 shots of VMEM —
-    measured 179MB vs the chip's 128MB (scripts/bp288_chunked_ab.py, the
-    sub-batch lax.map idea's negative result). Such graphs take the XLA
-    lift path."""
-    return viable_block_b(lifted, B=B) is not None
+    whose state fits VMEM for this graph, batch, and schedule. Since the
+    round-4 packed-mask diet [[288,12,18]] fits the FLOODING kernel
+    (~100MB single-step; B > 128 runs 128-wide blocks under lax.map); the
+    layered schedule's register spills (+32.5MB measured) keep it
+    [[144]]-scale only. Rejected graphs take the XLA lift path."""
+    return viable_block_b(lifted, B=B, schedule=schedule) is not None
 
 
 def make_key(seed: int, impl: str = "rbg") -> jax.Array:
@@ -183,7 +182,7 @@ def _decode_logicals(syndrome, dec: BasisDecoder, maxIter: int,
         bp = decode_batch_tanh(dec.graph, syndrome, dec.prior, maxIter)
     elif bp_variant == "layered" and dec.lifted is not None \
             and damping == 1.0:
-        if use_pallas and _pallas_bp_viable(dec.lifted, B):
+        if use_pallas and _pallas_bp_viable(dec.lifted, B, "layered"):
             bp = decode_batch_lift_pallas(
                 dec.lifted, syndrome, dec.prior, dec.alpha_seq, maxIter,
                 clip_llr=clip_llr, msg_dtype=jnp.float32, schedule="layered")

@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--p", type=float, default=0.004)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--rpd", type=int, default=4)
+    ap.add_argument("--variant", default="minsum",
+                    help="bp_variant: minsum | layered | tanh")
     args = ap.parse_args()
     maxiters = args.maxiters or [20, 30, 50]
     code = get_code(args.code)
@@ -72,7 +74,7 @@ def main():
         dz = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
         dx = _make_basis(circ, M, "X", seq, osd_order=osd_order)
         base = make_round_fn(dz, dx, circ.num_error_locs, p, batch, mi,
-                             osd_order)
+                             osd_order, bp_variant=args.variant)
         # bundles travel as jit ARGUMENTS: baked [[288]]-sized closure
         # constants exceed the remote compile service's request limit
         fns[mi] = (jax.jit(make_scanned_round_fn(base, rpd)), dz, dx)

@@ -1,6 +1,6 @@
 """Per-stage timing of the decode round on real hardware.
 
-Usage: python scripts/profile_round.py [code] [p] [batch]
+Usage: python scripts/profile_round.py [code] [p] [batch] [maxIter]
 Times sampling+syndrome, BP alone, and the full round (BP + chunked OSD +
 logical readout) separately to show where a round's time goes.
 """
@@ -49,7 +49,8 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "[[144, 12, 12]]"
     p = float(sys.argv[2]) if len(sys.argv) > 2 else 0.004
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 512
-    maxIter, osd_order = 20, 2
+    maxIter = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    osd_order = 2
     code = get_code(name)
     cycles = code.distance
     circ = SyndromeCircuit(code, num_cycles=cycles)

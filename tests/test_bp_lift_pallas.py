@@ -114,3 +114,8 @@ def test_viable_block_b_gate():
     assert viable_block_b(huge) is None          # double-depth: too big
     assert viable_block_b(huge, B=64) is None    # padded to 128 lanes anyway
     assert viable_block_b(small, B=64) == 64     # small graph: any batch
+    # the layered schedule budgets against its measured register-spill
+    # margin: [[144]]-scale passes, [[288]]-scale falls back (hardware
+    # OOM'd by 4.1MB with 32.5MB of spills)
+    assert viable_block_b(small, schedule="layered") == 128
+    assert viable_block_b(big, schedule="layered") is None
