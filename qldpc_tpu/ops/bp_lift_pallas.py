@@ -451,16 +451,17 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
               else _BUDGET_BYTES)
     if nb > 1 and _state_bytes(g, msg_dtype, dbuf=2) > budget:
         # big graph: a multi-step grid double-buffers its revolving
-        # windows past the VMEM budget — run grid-1 calls per 128-wide
-        # block under lax.map instead (blocks are serial either way)
-        syn_chunks = jnp.moveaxis(
-            syn_grid.reshape(ell, mm, T, nb, Bb), 3, 0)
-        vals_c, done_c, iters_c, hp_c = jax.lax.map(
-            lambda sc: call(sc, 1), syn_chunks)
-        vals = jnp.moveaxis(vals_c, 0, 4).reshape(NB, ell, mm, T, B)
-        done = done_c.transpose(1, 0, 2).reshape(1, B)
-        iters = iters_c.transpose(1, 0, 2).reshape(1, B)
-        hardpack = jnp.moveaxis(hp_c, 0, 3).reshape(ell, mm, T, B)
+        # windows past the VMEM budget — run one grid-1 call per 128-wide
+        # block instead (blocks are serial either way). An UNROLLED python
+        # loop, not lax.map: a pallas_call inside a while/map body loses
+        # its vmem_limit_bytes compiler param (the scoped limit reverts to
+        # 16MB — observed on v5e) and the 59MB edge scratch aborts compile.
+        parts = [call(syn_grid[..., c * Bb:(c + 1) * Bb], 1)
+                 for c in range(nb)]
+        vals = jnp.concatenate([p[0] for p in parts], axis=4)
+        done = jnp.concatenate([p[1] for p in parts], axis=1)
+        iters = jnp.concatenate([p[2] for p in parts], axis=1)
+        hardpack = jnp.concatenate([p[3] for p in parts], axis=3)
     else:
         vals, done, iters, hardpack = call(syn_grid, nb)
 

@@ -68,6 +68,10 @@ def main():
                          "[[90]] z=+3.0 offset to running 20 here), so 50 "
                          "is the config-parity setting; 20 matches the "
                          "reference driver main.py:44.")
+    ap.add_argument("--bp-variant", default="minsum",
+                    help="minsum | layered | tanh (layered is the "
+                         "beyond-reference serial schedule; validate its "
+                         "LER against the same archives)")
     ap.add_argument("--out", default="validation_results.json")
     args = ap.parse_args()
 
@@ -91,7 +95,7 @@ def main():
             precomputed_matrices=M,
             target_logical_errors=args.target_errors,
             max_trials=args.max_trials, batch_size=args.batch_size,
-            base_seed=1234, verbose=False,
+            base_seed=1234, verbose=False, bp_variant=args.bp_variant,
             ell=code.ell, m=code.m, a_x_powers=code.a_x_powers,
             a_y_powers=code.a_y_powers, b_y_powers=code.b_y_powers,
             b_x_powers=code.b_x_powers)
@@ -101,7 +105,8 @@ def main():
         ref_sig = np.sqrt(ref_ler * (1 - ref_ler) / ref_tr)
         z = (ler - ref_ler) / np.sqrt(sig**2 + ref_sig**2)
         row = dict(code=name, p=p, alpha_mode=args.alpha_mode,
-                   maxIter=args.max_iter, ler=ler,
+                   maxIter=args.max_iter, bp_variant=args.bp_variant,
+                   ler=ler,
                    errors=ne, trials=nt,
                    ref_ler=ref_ler, z_score=round(float(z), 2),
                    shots_per_sec=round(res["shots_per_sec"], 1),

@@ -119,3 +119,26 @@ def test_viable_block_b_gate():
     # OOM'd by 4.1MB with 32.5MB of spills)
     assert viable_block_b(small, schedule="layered") == 128
     assert viable_block_b(big, schedule="layered") is None
+
+
+def test_kernel_chunked_blocks_match_grid():
+    """The unrolled per-128-block path (big graphs whose multi-step grid
+    would overflow VMEM) must decode identically to the grid path."""
+    import qldpc_tpu.ops.bp_lift_pallas as op
+    data = _setup(B=32)
+    lg, syn, prior = data["Z"]
+    seq = jnp.asarray(alpha_schedule("dynamical", 8))
+    want = decode_batch_lift_pallas(lg, syn, prior, seq, 8,
+                                    msg_dtype=jnp.float32, block_b=16,
+                                    interpret=True)
+    orig = op._BUDGET_BYTES
+    op._BUDGET_BYTES = 1  # force the chunked branch for this tiny graph
+    try:
+        decode_batch_lift_pallas.clear_cache()
+        got = decode_batch_lift_pallas(lg, syn, prior, seq, 8,
+                                       msg_dtype=jnp.float32, block_b=16,
+                                       interpret=True)
+    finally:
+        op._BUDGET_BYTES = orig
+        decode_batch_lift_pallas.clear_cache()
+    _check(want, got, "chunked", jnp.float32, exact_vals=True)
