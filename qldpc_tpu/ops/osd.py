@@ -237,9 +237,6 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
         # matrix is recomputed on demand inside the reprocess cond.
         from .osd_pallas import eliminate_blocks, pick_block_shots
         M_pad = -(-m // 128) * 128
-        packed_wm = _gather_pack(H, colsK, Kp, words_major=True)  # (B,Wp,m)
-        HpT_pref = jnp.pad(packed_wm,
-                           ((0, 0), (0, 0), (0, M_pad - m)))     # (B,Wp,M)
         s_pad = jnp.pad(residual, ((0, 0), (0, M_pad - m)))
         W_full = KT // 32 if KT % 32 == 0 else -(-KT // 32)
         S = pick_block_shots(M_pad, W_full)
@@ -250,14 +247,31 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
             HbT = jnp.pad(jnp.transpose(Hb_words, (1, 0)),
                           ((0, 0), (0, M_pad - m)))              # (Wb, M)
 
-        def _full_HpT():
-            return jnp.concatenate(
-                [HpT_pref, jnp.broadcast_to(HbT[None], (B,) + HbT.shape)],
-                axis=1) if basis_words is not None else HpT_pref
-
         if stage1_cols is None:
             stage1_cols = 768 if (Kp >= 2048 and B % 32 == 0) else 0
         staged = bool(stage1_cols) and stage1_cols < K and B % 32 == 0
+
+        def _gather_pref(cols, Kx):
+            """Per-shot gather + pack of the first Kx reliability columns,
+            lane-padded to the eliminator layout."""
+            packed = _gather_pack(H, cols[:, :min(Kx, K)], Kx,
+                                  words_major=True)
+            return jnp.pad(packed, ((0, 0), (0, 0), (0, M_pad - m)))
+
+        if staged:
+            # staged mode gathers/packs ONLY the stage-1 prefix up front
+            # (the full-width pack is ~4x the bytes and most shots never
+            # need it); tail chunks and the reprocess path gather their
+            # full-width columns on demand.
+            HpT_pref = None
+        else:
+            HpT_pref = _gather_pref(colsK, Kp)                   # (B,Wp,M)
+
+        def _full_HpT():
+            pref = _gather_pref(colsK, Kp) if HpT_pref is None else HpT_pref
+            return jnp.concatenate(
+                [pref, jnp.broadcast_to(HbT[None], (B,) + HbT.shape)],
+                axis=1) if basis_words is not None else pref
         if staged:
             # --- staged scan: narrow stage-1 + compacted full-width tail ---
             K1 = stage1_cols
@@ -265,8 +279,9 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
             S1 = pick_block_shots(M_pad, -(-W1 // 8) * 8)
             while B % S1:
                 S1 //= 2
+            Hp_s1 = _gather_pref(colsK, W1 * 32)                 # (B,W1,M)
             _, s1, prow1, used1, cf1 = eliminate_blocks(
-                HpT_pref[:, :W1, :], s_pad, K1, m, block_shots=S1, rank=rank)
+                Hp_s1, s_pad, K1, m, block_shots=S1, rank=rank)
             unsat1 = jnp.sum(jnp.where(~used1[:, :m], s1[:, :m], 0), axis=1)
             covered = unsat1 == 0                              # (B,)
             prow1p = jnp.pad(prow1, ((0, 0), (0, KT - K1)),
@@ -285,7 +300,8 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
             def chunk_body(state):
                 c0, s_o, prow_o, used_o, cf_o = state
                 idx = jax.lax.dynamic_slice_in_dim(order2, c0, CH)
-                Hp_c = jnp.take(HpT_pref, idx, axis=0)
+                # full-width gather for just this chunk's shots
+                Hp_c = _gather_pref(jnp.take(colsK, idx, axis=0), Kp)
                 if basis_words is not None:
                     Hp_c = jnp.concatenate(
                         [Hp_c,
