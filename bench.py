@@ -309,13 +309,21 @@ def main():
         try:
             b288 = int(os.environ.get("BENCH_288_BATCH", "256"))
             rpd288 = int(os.environ.get("BENCH_288_RPD", "2"))
+            # [[288]] runs maxIter=200 by default: kernel-BP iterations are
+            # nearly free and the better posteriors cut the OSD validity
+            # scan ~2.7x (scripts/osd288_ab.py); the native baseline below
+            # is measured at the SAME maxIter so vs_baseline compares the
+            # identical decoder config on both sides.
+            mi288 = int(os.environ.get("BENCH_288_MAXITER", "200"))
             sps288, _e, _r, (c288, M288, dz288, dx288) = bench_config(
-                "[[288, 12, 18]]", 0.005, b288, rpd288, maxIter, osd_order,
+                "[[288, 12, 18]]", 0.005, b288, rpd288, mi288, osd_order,
                 bp_variant=bp_variant)
             extra["[[288,12,18]]_p0.005_shots_per_sec"] = round(sps288, 1)
+            extra["[[288,12,18]]_maxIter"] = mi288
+            seq288 = alpha_schedule("dynamical", mi288)
             base288 = native_baseline(
-                f"[[288,12,18]]_maxIter{maxIter}_osd{osd_order}", M288, seq,
-                maxIter, osd_order, n_syn=6)
+                f"[[288,12,18]]_maxIter{mi288}_osd{osd_order}", M288,
+                seq288, mi288, osd_order, n_syn=6)
             extra["[[288,12,18]]_vs_baseline"] = round(sps288 / base288, 1)
             print(f"[[288]] baseline: {base288:.2f} trials/s; "
                   f"TPU {sps288:,.0f} shots/s", file=sys.stderr)
