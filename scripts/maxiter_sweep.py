@@ -54,7 +54,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--rpd", type=int, default=4)
     ap.add_argument("--variant", default="minsum",
-                    help="bp_variant: minsum | layered | tanh")
+                    help="bp_variant: minsum | layered | tanh; a comma "
+                         "list interleaves variants in the same session "
+                         "(drift-fair A/B)")
     args = ap.parse_args()
     maxiters = args.maxiters or [20, 30, 50]
     code = get_code(args.code)
@@ -68,31 +70,34 @@ def main():
         save_matrices("matrix_cache", key_c, M)
 
     key = make_key(0)
+    variants = args.variant.split(",")
+    configs = [(mi, v) for mi in maxiters for v in variants]
     fns = {}
-    for mi in maxiters:
+    for mi, variant in configs:
         seq = alpha_schedule("dynamical", mi)
         dz = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
         dx = _make_basis(circ, M, "X", seq, osd_order=osd_order)
         base = make_round_fn(dz, dx, circ.num_error_locs, p, batch, mi,
-                             osd_order, bp_variant=args.variant)
+                             osd_order, bp_variant=variant)
         # bundles travel as jit ARGUMENTS: baked [[288]]-sized closure
         # constants exceed the remote compile service's request limit
-        fns[mi] = (jax.jit(make_scanned_round_fn(base, rpd)), dz, dx)
+        fns[(mi, variant)] = (jax.jit(make_scanned_round_fn(base, rpd)),
+                              dz, dx)
 
     # two interleaved passes so chip drift hits all configs equally
-    results = {mi: [] for mi in maxiters}
+    results = {c: [] for c in configs}
     uncs = {}
     for _ in range(2):
-        for mi in maxiters:
-            rate, unc = measure(fns[mi], key, batch, rpd)
-            results[mi].append(rate)
-            uncs[mi] = unc
-            print(f"maxIter={mi}: {rate:8.1f} shots/s  "
+        for c in configs:
+            rate, unc = measure(fns[c], key, batch, rpd)
+            results[c].append(rate)
+            uncs[c] = unc
+            print(f"maxIter={c[0]} {c[1]}: {rate:8.1f} shots/s  "
                   f"unconverged={unc:.3f}", flush=True)
     print("\nbest-of-2 per config:")
-    for mi in maxiters:
-        print(f"maxIter={mi}: {max(results[mi]):8.1f} shots/s  "
-              f"unconverged={uncs[mi]:.3f}")
+    for c in configs:
+        print(f"maxIter={c[0]} {c[1]}: {max(results[c]):8.1f} shots/s  "
+              f"unconverged={uncs[c]:.3f}")
 
 
 if __name__ == "__main__":
