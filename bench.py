@@ -104,16 +104,25 @@ def bench_config(code_name, p, batch, rpd, maxIter, osd_order,
     (shots_per_sec, errors_seen, total_rounds, built objects)."""
     import jax
 
-    from qldpc_tpu.parallel.engine import (make_key, make_round_fn,
+    from qldpc_tpu.parallel.engine import (make_key, make_pooled_round_fn,
+                                           make_round_fn,
                                            make_scanned_round_fn)
     from qldpc_tpu.utils.benchloop import timed_windows
 
     code, circ, M, dec_z, dec_x, seq = _build(code_name, p, maxIter,
                                               osd_order)
-    base_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, p, batch,
-                            maxIter, osd_order, bp_variant=bp_variant)
-    fn = jax.jit(base_fn if rpd == 1
-                 else make_scanned_round_fn(base_fn, rpd))
+    # cross-round OSD compaction (bit-identical, cost-only; engine default)
+    pooled = os.environ.get("BENCH_POOLED", "1") != "0" and rpd > 1
+    if pooled:
+        base_fn = make_pooled_round_fn(dec_z, dec_x, circ.num_error_locs,
+                                       p, batch, maxIter, osd_order, rpd,
+                                       bp_variant=bp_variant)
+        fn = jax.jit(base_fn)
+    else:
+        base_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, p, batch,
+                                maxIter, osd_order, bp_variant=bp_variant)
+        fn = jax.jit(base_fn if rpd == 1
+                     else make_scanned_round_fn(base_fn, rpd))
     key = make_key(0)
     errs_box = [0]
     shots_per_sec, total_rounds = timed_windows(

@@ -154,19 +154,13 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _decode_logicals(syndrome, dec: BasisDecoder, maxIter: int,
-                     osd_order: int, damping: float, clip_llr: float,
-                     use_pallas: bool = False, msg_dtype=jnp.float32,
-                     bp_variant: str = "minsum"):
-    """BP, OSD fallback for unconverged shots, logical readout.
+def _bp_one_basis(syndrome, dec: BasisDecoder, maxIter: int, damping: float,
+                  clip_llr: float, use_pallas: bool = False,
+                  msg_dtype=jnp.float32, bp_variant: str = "minsum"):
+    """BP only — the variant/kernel dispatch half of _decode_logicals.
 
-    Returns (dec_log (B, k) int32 — the decoded correction's logical
-    action, converged (B,) bool, rank_deficient (B,) bool).
-
-    OSD applies only to BP-failed shots (reference engine.py:96-97). Under
-    SPMD the batch is sorted unconverged-first and OSD runs chunk-wise, each
-    chunk wrapped in lax.cond so fully-converged chunks cost nothing — the
-    expensive elimination is paid only for ~the unconverged fraction.
+    Returns the BP result dict (values (B, n) f32, hard (B, n) int8,
+    converged (B,) bool).
 
     bp_variant="tanh" selects the true-BP tanh decoder (reference
     performBeliefPropagationFast, dense.py:75-96) instead of normalized
@@ -210,7 +204,29 @@ def _decode_logicals(syndrome, dec: BasisDecoder, maxIter: int,
         bp = decode_batch(dec.graph, syndrome, dec.prior, dec.alpha_seq,
                           maxIter, damping=damping, clip_llr=clip_llr,
                           msg_dtype=msg_dtype)
-    conv = bp["converged"]
+    return bp
+
+
+def _osd_fallback(syndrome, values, hard, conv, dec: BasisDecoder,
+                  osd_order: int, use_pallas: bool, chunk: int):
+    """OSD for the BP-failed shots of a (possibly pooled) batch.
+
+    Returns (delta (B,) int32 packed logical delta of the OSD correction
+    relative to the BP hard decision, rank_deficient (B,) bool).
+
+    OSD applies only to BP-failed shots (reference engine.py:96-97). Under
+    SPMD the batch is sorted unconverged-first and OSD runs chunk-wise, each
+    chunk wrapped in lax.cond so fully-converged chunks cost nothing — the
+    expensive elimination is paid only for ~the unconverged fraction.
+
+    Per-shot outputs are independent of how shots are grouped into chunks:
+    the elimination's validity early exit and the cond gating change COST
+    only, never a consumed output bit (tests/test_osd.py pins this). That
+    grouping-independence is what licenses cross-round compaction — pooling
+    the shots of several fused rounds into one sorted chunk sequence so
+    elimination cost tracks the POOLED failure count instead of each
+    round's own worst chunk quantization (make_pooled_round_fn)."""
+    B = syndrome.shape[0]
     # Sort unconverged-first AND by BP-residual weight within unconverged:
     # the OSD elimination's validity exit stops a whole shot-block at the
     # depth its HARDEST shot needs, so grouping shots of similar difficulty
@@ -219,17 +235,16 @@ def _decode_logicals(syndrome, dec: BasisDecoder, maxIter: int,
     # a strong proxy for exit depth and costs one bf16 matmul.
     res_wt = jnp.sum(
         syndrome.astype(jnp.int32)
-        ^ (jnp.dot(bp["hard"].astype(jnp.bfloat16), dec.HT_bf16,
+        ^ (jnp.dot(hard.astype(jnp.bfloat16), dec.HT_bf16,
                    preferred_element_type=jnp.float32).astype(jnp.int32) & 1),
         axis=1)
     m_checks = syndrome.shape[1]
     order = jnp.argsort(jnp.where(conv, m_checks + 1, res_wt))
     syn_s = jnp.take(syndrome, order, axis=0)
-    vals_s = jnp.take(bp["values"], order, axis=0)
-    hard_s = jnp.take(bp["hard"], order, axis=0)
+    vals_s = jnp.take(values, order, axis=0)
+    hard_s = jnp.take(hard, order, axis=0)
     conv_s = jnp.take(conv, order, axis=0)
 
-    chunk = B if B <= 64 else max(64, B // 8)
     deltas, rdefs = [], []
     for c0 in range(0, B, chunk):
         c1 = min(c0 + chunk, B)
@@ -254,17 +269,42 @@ def _decode_logicals(syndrome, dec: BasisDecoder, maxIter: int,
     delta_s = jnp.concatenate(deltas, axis=0)
     rdef_s = jnp.concatenate(rdefs, axis=0)
     # undo the sort; the OSD correction's logical action travels as one
-    # packed int32 per shot (the (B, n) solution is never materialized —
-    # the decoded logical is linear in GF(2): osd_sol@L = hard@L ^ delta)
+    # packed int32 per shot (see _logical_readout)
     delta = jnp.zeros_like(delta_s).at[order].set(delta_s)
     rdef = jnp.zeros_like(rdef_s).at[order].set(rdef_s) & ~conv
-    bp_log = (jnp.dot(bp["hard"].astype(jnp.bfloat16), dec.H_logical,
+    return delta, rdef
+
+
+def _logical_readout(hard, conv, delta, dec: BasisDecoder):
+    """Decoded logical action (B, k) int32 from the BP hard decision and
+    the packed OSD logical delta (the (B, n) OSD solution is never
+    materialized — the decoded logical is linear in GF(2):
+    osd_sol@L = hard@L ^ delta)."""
+    bp_log = (jnp.dot(hard.astype(jnp.bfloat16), dec.H_logical,
                       preferred_element_type=jnp.float32)
               .astype(jnp.int32) & 1)                            # (B, k)
     k = bp_log.shape[1]
     delta_bits = (delta[:, None] >> jnp.arange(k, dtype=jnp.int32)) & 1
-    dec_log = bp_log ^ jnp.where(conv[:, None], 0, delta_bits)
-    return dec_log, bp["converged"], rdef
+    return bp_log ^ jnp.where(conv[:, None], 0, delta_bits)
+
+
+def _decode_logicals(syndrome, dec: BasisDecoder, maxIter: int,
+                     osd_order: int, damping: float, clip_llr: float,
+                     use_pallas: bool = False, msg_dtype=jnp.float32,
+                     bp_variant: str = "minsum"):
+    """BP, OSD fallback for unconverged shots, logical readout.
+
+    Returns (dec_log (B, k) int32 — the decoded correction's logical
+    action, converged (B,) bool, rank_deficient (B,) bool)."""
+    B = syndrome.shape[0]
+    bp = _bp_one_basis(syndrome, dec, maxIter, damping, clip_llr,
+                       use_pallas, msg_dtype, bp_variant)
+    conv = bp["converged"]
+    chunk = B if B <= 64 else max(64, B // 8)
+    delta, rdef = _osd_fallback(syndrome, bp["values"], bp["hard"], conv,
+                                dec, osd_order, use_pallas, chunk)
+    dec_log = _logical_readout(bp["hard"], conv, delta, dec)
+    return dec_log, conv, rdef
 
 
 def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
@@ -277,6 +317,26 @@ def _decode_one_basis(syndrome, true_log, dec: BasisDecoder, maxIter: int,
         msg_dtype, bp_variant)
     err = jnp.any(dec_log != true_log.astype(jnp.int32), axis=1)
     return err, conv, rdef
+
+
+def _round_defaults(dec_z: BasisDecoder, damping: float, use_pallas,
+                    msg_dtype, bp_variant: str):
+    """Resolve the backend-dependent round-fn defaults shared by
+    make_round_fn and make_pooled_round_fn."""
+    if use_pallas is None:  # VMEM elimination kernel on real TPU only
+        # (the TPU platform may be named 'tpu' or a plugin name like 'axon')
+        use_pallas = jax.default_backend() != "cpu"
+    if bp_variant == "layered" and (dec_z.lifted is None or damping != 1.0):
+        logger.warning(
+            "bp_variant='layered' needs a lifted decoding graph and "
+            "damping == 1; falling back to the flooding schedule")
+        bp_variant = "minsum"
+    if msg_dtype is None:
+        # bf16 BP messages on real TPU (halves the gather traffic that
+        # dominates BP cost; LER-validated), exact f32 on CPU/test meshes
+        msg_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" \
+            else jnp.float32
+    return use_pallas, msg_dtype, bp_variant
 
 
 def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
@@ -292,19 +352,8 @@ def make_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder, n_locs: int,
     program by hundreds of MB for the large codes (the [[288]] signature
     matrix alone is ~450MB) and can exceed compile-service request limits.
     """
-    if use_pallas is None:  # VMEM elimination kernel on real TPU only
-        # (the TPU platform may be named 'tpu' or a plugin name like 'axon')
-        use_pallas = jax.default_backend() != "cpu"
-    if bp_variant == "layered" and (dec_z.lifted is None or damping != 1.0):
-        logger.warning(
-            "bp_variant='layered' needs a lifted decoding graph and "
-            "damping == 1; falling back to the flooding schedule")
-        bp_variant = "minsum"
-    if msg_dtype is None:
-        # bf16 BP messages on real TPU (halves the gather traffic that
-        # dominates BP cost; LER-validated), exact f32 on CPU/test meshes
-        msg_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" \
-            else jnp.float32
+    use_pallas, msg_dtype, bp_variant = _round_defaults(
+        dec_z, damping, use_pallas, msg_dtype, bp_variant)
 
     def round_fn(key, dec_z=dec_z, dec_x=dec_x, error_rate=error_rate):
         # error_rate may be passed as a traced 0-d array: a p-sweep then
@@ -357,6 +406,99 @@ def make_scanned_round_fn(round_fn, n_rounds: int):
     return scanned
 
 
+def make_pooled_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder,
+                         n_locs: int, error_rate: float, batch: int,
+                         maxIter: int, osd_order: int, n_rounds: int,
+                         damping: float = 1.0, clip_llr: float = 20.0,
+                         use_pallas: bool = None, msg_dtype=None,
+                         bp_variant: str = "minsum"):
+    """``n_rounds`` fused decode rounds with CROSS-ROUND OSD compaction.
+
+    Same observable contract as
+    ``make_scanned_round_fn(make_round_fn(...), n_rounds)`` — one dispatch,
+    flattened ``(n_rounds * batch,)`` per-shot flags, per-round RNG via
+    ``fold_in`` of the round index, and BIT-IDENTICAL per-shot results
+    (pinned by tests/test_engine.py) — but a different internal schedule:
+    the scan body does sampling + BP only, stacking each round's BP
+    outputs, and ONE pooled OSD phase then sorts all ``n_rounds * batch``
+    shots unconverged-first and eliminates in chunks. The per-round
+    schedule quantizes elimination cost to each round's own worst case
+    (``ceil`` of its failed count per round, per basis); pooling quantizes
+    once across the whole dispatch, so elimination cost tracks the ACTUAL
+    pooled failure count and the residual-weight sort sees the full
+    population (more uniform difficulty per chunk -> earlier validity
+    exits). OSD grouping-independence (see _osd_fallback) is what makes
+    the two schedules bit-equivalent.
+
+    Cost: the stacked BP posteriors/hard decisions live in HBM between the
+    phases — (n_rounds*batch, n) f32+int8 per basis (~0.6GB at the [[144]]
+    bench shape, well under the 16GB v5e HBM).
+
+    Reference anchor: OSD only on unconverged trials (reference
+    engine.py:96-97); the reference's per-trial loop has no analogue of
+    chunk quantization — this recovers its exact-count property inside a
+    fixed-shape SPMD program."""
+    use_pallas, msg_dtype, bp_variant = _round_defaults(
+        dec_z, damping, use_pallas, msg_dtype, bp_variant)
+    idx = jnp.arange(n_rounds, dtype=jnp.uint32)
+
+    def pooled(key, dec_z=dec_z, dec_x=dec_x, error_rate=error_rate):
+        def body(carry, i):
+            return carry, _sample_bp_phase(
+                jax.random.fold_in(key, i), dec_z, dec_x, n_locs,
+                error_rate, batch, maxIter, damping, clip_llr, use_pallas,
+                msg_dtype, bp_variant)
+
+        _, stacked = jax.lax.scan(body, (), idx)
+        # flatten the round axis: (n_rounds, B, ...) -> (n_rounds*B, ...)
+        flat = jax.tree.map(lambda v: v.reshape((-1,) + v.shape[2:]),
+                            stacked)
+        return _pooled_osd_phase(flat, dec_z, dec_x, batch, osd_order,
+                                 use_pallas)
+
+    return pooled
+
+
+def _sample_bp_phase(key, dec_z, dec_x, n_locs, error_rate, batch, maxIter,
+                     damping, clip_llr, use_pallas, msg_dtype, bp_variant):
+    """One round's sampling + both-basis BP: the scan-body half of a pooled
+    round. Returns the stackable [z, x] per-basis state dicts consumed by
+    _pooled_osd_phase."""
+    err, pauli, cat2 = sample_gate_randoms(key, batch, n_locs, error_rate)
+    per_basis = []
+    for name, dec in (("z", dec_z), ("x", dec_x)):
+        bits = fault_bits(err, pauli, cat2, dec.maps, name.upper())
+        aug = augmented_bits(bits, dec.maps)
+        syndrome = aug[:, :dec.maps.num_syn]
+        bp = _bp_one_basis(syndrome, dec, maxIter, damping, clip_llr,
+                           use_pallas, msg_dtype, bp_variant)
+        per_basis.append(dict(
+            syn=syndrome, true_log=aug[:, dec.maps.num_syn:],
+            values=bp["values"], hard=bp["hard"], conv=bp["converged"]))
+    return per_basis
+
+
+def _pooled_osd_phase(flat, dec_z, dec_x, batch, osd_order, use_pallas):
+    """Pooled OSD + readout over the flattened multi-round BP state: the
+    post-scan half of a pooled round. ``batch`` is the PER-ROUND batch —
+    the chunk size matches the per-round schedule's (compile-cost parity:
+    the pooled phase unrolls n_rounds * (batch/chunk) conds, exactly as
+    many elimination call sites as the per-round schedule)."""
+    chunk = batch if batch <= 64 else max(64, batch // 8)
+    out = {}
+    for name, dec, st in (("z", dec_z, flat[0]), ("x", dec_x, flat[1])):
+        delta, rdef = _osd_fallback(st["syn"], st["values"], st["hard"],
+                                    st["conv"], dec, osd_order, use_pallas,
+                                    chunk)
+        dec_log = _logical_readout(st["hard"], st["conv"], delta, dec)
+        out[f"{name}_err"] = jnp.any(
+            dec_log != st["true_log"].astype(jnp.int32), axis=1)
+        out[f"{name}_conv"] = st["conv"]
+        out[f"{name}_rankdef"] = rdef
+    out["any_err"] = out["z_err"] | out["x_err"]
+    return out
+
+
 def make_multi_code_round_fn(specs):
     """One jitted launch decoding several codes' batches back to back
     (BASELINE.json config: "[[90,8,10]] and [[108,8,10]], batched
@@ -375,6 +517,42 @@ def make_multi_code_round_fn(specs):
                 for i, (fn, (dz, dx)) in enumerate(zip(fns, decs))]
 
     return multi_round
+
+
+def make_multi_code_pooled_round_fn(specs, n_rounds: int):
+    """Multi-code fused rounds with per-code cross-round OSD compaction —
+    the pooled analogue of
+    ``make_scanned_round_fn(make_multi_code_round_fn(specs), n_rounds)``,
+    with the same flattened list-of-dicts output, the same per-round/
+    per-code RNG derivation, and bit-identical per-shot flags (see
+    make_pooled_round_fn; pinned by tests/test_engine.py). Pooling is per
+    code — codes have different shapes — but each code's elimination cost
+    now tracks its pooled failure count across all fused rounds."""
+    defaults = [_round_defaults(sp["dec_z"], 1.0, None, None, "minsum")
+                for sp in specs]
+    idx = jnp.arange(n_rounds, dtype=jnp.uint32)
+
+    def pooled(key, decs):
+        def body(carry, r):
+            kr = jax.random.fold_in(key, r)
+            return carry, [
+                _sample_bp_phase(
+                    jax.random.fold_in(kr, i), dz, dx, sp["n_locs"],
+                    sp["error_rate"], sp["batch"], sp["maxIter"], 1.0, 20.0,
+                    up, md, bv)
+                for i, (sp, (dz, dx), (up, md, bv))
+                in enumerate(zip(specs, decs, defaults))]
+
+        _, stacked = jax.lax.scan(body, (), idx)
+        flat = jax.tree.map(lambda v: v.reshape((-1,) + v.shape[2:]),
+                            stacked)
+        return [
+            _pooled_osd_phase(flat[i], dz, dx, sp["batch"],
+                              sp["osd_order"], up)
+            for i, (sp, (dz, dx), (up, _md, _bv))
+            in enumerate(zip(specs, decs, defaults))]
+
+    return pooled
 
 
 def _calibrate_basis_sequences(matrices, error_rate, alpha_mode,
@@ -561,9 +739,10 @@ def run_multi_code_simulation(
         names.append(name)
         extras.append(extra)
 
-    base_fn = make_multi_code_round_fn(specs)
-    fn = base_fn if rounds_per_dispatch == 1 else \
-        make_scanned_round_fn(base_fn, rounds_per_dispatch)
+    # rpd>1 uses per-code cross-round OSD compaction (bit-identical to the
+    # scanned per-round schedule, cost-only — see make_pooled_round_fn)
+    fn = make_multi_code_round_fn(specs) if rounds_per_dispatch == 1 else \
+        make_multi_code_pooled_round_fn(specs, rounds_per_dispatch)
 
     mesh = mesh if mesh is not None else (
         shot_mesh() if len(jax.devices()) > 1 else None)
@@ -671,6 +850,7 @@ def run_simulation(
     batch_size: Optional[int] = None, mesh=None, damping: float = 1.0,
     rounds_per_dispatch: Optional[int] = None,
     verbose: bool = True, bp_variant: str = "minsum",
+    osd_cross_round: Optional[bool] = None,
     **bb_params,
 ) -> Dict[str, Any]:
     """Reference-compatible Monte-Carlo LER estimation (engine.py:193-203
@@ -748,9 +928,6 @@ def run_simulation(
         # round for stopping granularity and suite runtime.
         cap = 1024 if jax.default_backend() != "cpu" else 512
         batch_size = min(cap, max(128, -(-max_trials // n_dev)))
-    round_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, error_rate,
-                             batch_size, maxIter, osd_order, damping,
-                             bp_variant=bp_variant)
     if rounds_per_dispatch is None:
         # fused rounds amortize the fixed per-dispatch transport floor on
         # real TPU; on CPU test meshes dispatch is cheap and stopping
@@ -760,8 +937,21 @@ def run_simulation(
         while (rounds_per_dispatch > 1
                and batch_size * n_dev * rounds_per_dispatch > max_trials * 2):
             rounds_per_dispatch //= 2
-    if rounds_per_dispatch > 1:
-        round_fn = make_scanned_round_fn(round_fn, rounds_per_dispatch)
+    if osd_cross_round is None:
+        # pooled elimination is bit-identical and never slower; auto unless
+        # there is nothing to pool
+        osd_cross_round = rounds_per_dispatch > 1
+    if osd_cross_round and rounds_per_dispatch > 1:
+        round_fn = make_pooled_round_fn(
+            dec_z, dec_x, circ.num_error_locs, error_rate, batch_size,
+            maxIter, osd_order, rounds_per_dispatch, damping,
+            bp_variant=bp_variant)
+    else:
+        round_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs,
+                                 error_rate, batch_size, maxIter, osd_order,
+                                 damping, bp_variant=bp_variant)
+        if rounds_per_dispatch > 1:
+            round_fn = make_scanned_round_fn(round_fn, rounds_per_dispatch)
     sharded = shard_rounds(jax.jit(round_fn), mesh)
     gather_flags = make_flag_gather(mesh)
     round_shots = batch_size * n_dev * rounds_per_dispatch

@@ -136,6 +136,15 @@ def test_multi_code_single_launch():
     for o1, fout in zip(one, fouts):
         assert fout["any_err"].shape == (24,)
         np.testing.assert_array_equal(fout["any_err"][8:16], o1["any_err"])
+    # the pooled (cross-round OSD compaction) multi-code schedule is
+    # bit-identical to the scanned one
+    from qldpc_tpu.parallel.engine import make_multi_code_pooled_round_fn
+    pooled = jax.jit(make_multi_code_pooled_round_fn(specs, 3))
+    pouts = jax.device_get(pooled(key, decs))
+    for fout, pout in zip(fouts, pouts):
+        assert set(fout) == set(pout)
+        for k in fout:
+            np.testing.assert_array_equal(fout[k], pout[k], err_msg=k)
 
 
 def test_round_program_shared_across_p():
@@ -153,19 +162,65 @@ def test_round_program_shared_across_p():
     from qldpc_tpu.ops.bp import alpha_schedule
     from qldpc_tpu.parallel.engine import _make_basis, make_key, make_round_fn
 
+    from qldpc_tpu.parallel.engine import make_pooled_round_fn
+
     code = get_code("[[72, 12, 6]]")
     circ = SyndromeCircuit(code, num_cycles=2)
-    hlos = []
+    hlos, hlos_pooled = [], []
     for p in (0.01, 0.004):
         M = build_decoding_matrices(circ, code.Lx, code.Lz, p)
         seq = alpha_schedule("dynamical", 4)
         dz = _make_basis(circ, M, "Z", seq, osd_order=1)
         dx = _make_basis(circ, M, "X", seq, osd_order=1)
-        fn = make_round_fn(dz, dx, circ.num_error_locs, p, 8, 4, 1)
-        low = jax.jit(fn).lower(make_key(0), dz, dx, jnp.float32(p))
-        hlos.append(hashlib.sha256(
-            str(low.compiler_ir("stablehlo")).encode()).hexdigest())
+        for fns, fn in (
+                (hlos, make_round_fn(dz, dx, circ.num_error_locs, p, 8, 4,
+                                     1)),
+                (hlos_pooled, make_pooled_round_fn(
+                    dz, dx, circ.num_error_locs, p, 8, 4, 1, 2))):
+            low = jax.jit(fn).lower(make_key(0), dz, dx, jnp.float32(p))
+            fns.append(hashlib.sha256(
+                str(low.compiler_ir("stablehlo")).encode()).hexdigest())
     assert hlos[0] == hlos[1]
+    # the pooled (production rpd>1) round must share the property
+    assert hlos_pooled[0] == hlos_pooled[1]
+
+
+def test_pooled_round_fn_bit_identical():
+    """Cross-round OSD compaction (make_pooled_round_fn) must produce
+    BIT-IDENTICAL per-shot flags to the per-round scanned schedule: OSD
+    results are grouping-independent (validity exit and cond gating change
+    cost only), so pooling the fused rounds' failed shots into one sorted
+    chunk sequence is a pure cost optimization. Any flag diff here means a
+    real decode-semantics change leaked into the pooled path."""
+    import jax
+
+    from qldpc_tpu import SyndromeCircuit, build_decoding_matrices
+    from qldpc_tpu.ops.bp import alpha_schedule
+    from qldpc_tpu.parallel.engine import (_make_basis, make_key,
+                                           make_pooled_round_fn,
+                                           make_round_fn,
+                                           make_scanned_round_fn)
+
+    code = get_code("[[72, 12, 6]]")
+    circ = SyndromeCircuit(code, num_cycles=3)
+    p = 0.01  # high p so a healthy fraction of shots fail BP -> OSD runs
+    M = build_decoding_matrices(circ, code.Lx, code.Lz, p)
+    seq = alpha_schedule("dynamical", 4)
+    dz = _make_basis(circ, M, "Z", seq, osd_order=1)
+    dx = _make_basis(circ, M, "X", seq, osd_order=1)
+    batch, rpd = 96, 3  # batch > 64 so the chunked (non-trivial) path runs
+    scanned = jax.jit(make_scanned_round_fn(
+        make_round_fn(dz, dx, circ.num_error_locs, p, batch, 4, 1), rpd))
+    pooled = jax.jit(make_pooled_round_fn(
+        dz, dx, circ.num_error_locs, p, batch, 4, 1, rpd))
+    key = make_key(7)
+    a = jax.device_get(scanned(key, dz, dx))
+    b = jax.device_get(pooled(key, dz, dx))
+    assert set(a) == set(b)
+    assert any(a["z_err"]) or any(a["x_err"])  # the comparison is non-vacuous
+    assert not all(a["z_conv"] & a["x_conv"])  # OSD actually exercised
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
 def test_run_multi_code_simulation():
