@@ -125,7 +125,8 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
         gf2.column_basis(H)), appended after the K reliability-ordered
         columns so elimination always reaches full rank.
       stage1_cols: staged-elimination stage-1 width for the Pallas path.
-        None = auto (768 when K >= 2048, else single-stage); 0 disables.
+        None = auto (768 when K >= 2048, 256 when K >= 512, single-stage
+        for tiny K); 0 disables.
         Large decoding graphs ([[288,12,18]]: K=3072, per-shot exit depths
         p50 ~1500) pay for every block's full-width scan; the staged path
         scans a narrow stage-1 prefix first, sorts covered shots ahead,
@@ -248,7 +249,21 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
                           ((0, 0), (0, M_pad - m)))              # (Wb, M)
 
         if stage1_cols is None:
-            stage1_cols = 768 if (Kp >= 2048 and B % 32 == 0) else 0
+            # auto: narrow stage-1 pays FAR below the K>=2048 deep-exit
+            # regime it was built for — on [[144]] (K=1280, exit depths
+            # mean ~78/max ~300) the full osd_batch dropped 90 -> 66 ms at
+            # B=1024 with any stage1 in [128, 320] (flat plateau, outputs
+            # identical; scripts/osd144_stage_ab.py 2026-08-21). 256 sits
+            # mid-plateau and safely covers the exit-depth tail; tiny K
+            # (< 2*stage1) stays single-stage — nothing to narrow.
+            if B % 32 != 0:
+                stage1_cols = 0
+            elif Kp >= 2048:
+                stage1_cols = 768
+            elif Kp >= 512:
+                stage1_cols = 256
+            else:
+                stage1_cols = 0
         staged = bool(stage1_cols) and stage1_cols < K and B % 32 == 0
 
         def _gather_pref(cols, Kx):

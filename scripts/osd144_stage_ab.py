@@ -69,7 +69,7 @@ def main():
     conv = float(jax.device_get(r["converged"].sum())) / B
     print(f"kernel BP mi={mi}: converged {conv:.1%}")
     vals, hard = r["values"], r["hard"]
-    for s1 in (0, 256, 384, 512):
+    for s1 in (0, 128, 192, 256, 320):
         if s1 >= dz.K:
             continue
 
