@@ -51,11 +51,12 @@ def main():
                           osd_order=osd_order))
         decs.append((dz, dx))
 
-    from qldpc_tpu.parallel.engine import make_scanned_round_fn
+    from qldpc_tpu.parallel.engine import make_multi_code_pooled_round_fn
     from qldpc_tpu.utils.benchloop import timed_windows
 
-    base = make_multi_code_round_fn(specs)
-    fn = jax.jit(base if rpd == 1 else make_scanned_round_fn(base, rpd))
+    # rpd>1: per-code cross-round OSD compaction (the engine default)
+    fn = jax.jit(make_multi_code_round_fn(specs) if rpd == 1
+                 else make_multi_code_pooled_round_fn(specs, rpd))
     key = make_key(0)
     outs = jax.device_get(fn(key, decs))  # compile + warm + LER sanity
     lers = [float(np.asarray(o["any_err"]).mean()) for o in outs]
