@@ -411,7 +411,8 @@ def make_pooled_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder,
                          maxIter: int, osd_order: int, n_rounds: int,
                          damping: float = 1.0, clip_llr: float = 20.0,
                          use_pallas: bool = None, msg_dtype=None,
-                         bp_variant: str = "minsum"):
+                         bp_variant: str = "minsum",
+                         osd_chunk: int = None):
     """``n_rounds`` fused decode rounds with CROSS-ROUND OSD compaction.
 
     Same observable contract as
@@ -454,7 +455,7 @@ def make_pooled_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder,
         flat = jax.tree.map(lambda v: v.reshape((-1,) + v.shape[2:]),
                             stacked)
         return _pooled_osd_phase(flat, dec_z, dec_x, batch, osd_order,
-                                 use_pallas)
+                                 use_pallas, chunk=osd_chunk)
 
     return pooled
 
@@ -478,13 +479,16 @@ def _sample_bp_phase(key, dec_z, dec_x, n_locs, error_rate, batch, maxIter,
     return per_basis
 
 
-def _pooled_osd_phase(flat, dec_z, dec_x, batch, osd_order, use_pallas):
+def _pooled_osd_phase(flat, dec_z, dec_x, batch, osd_order, use_pallas,
+                      chunk: int = None):
     """Pooled OSD + readout over the flattened multi-round BP state: the
     post-scan half of a pooled round. ``batch`` is the PER-ROUND batch —
-    the chunk size matches the per-round schedule's (compile-cost parity:
-    the pooled phase unrolls n_rounds * (batch/chunk) conds, exactly as
-    many elimination call sites as the per-round schedule)."""
-    chunk = batch if batch <= 64 else max(64, batch // 8)
+    the default chunk size matches the per-round schedule's (compile-cost
+    parity: the pooled phase unrolls n_rounds * (batch/chunk) conds,
+    exactly as many elimination call sites as the per-round schedule);
+    pass ``chunk`` to trade gating granularity against call sites."""
+    if chunk is None:
+        chunk = batch if batch <= 64 else max(64, batch // 8)
     out = {}
     for name, dec, st in (("z", dec_z, flat[0]), ("x", dec_x, flat[1])):
         delta, rdef = _osd_fallback(st["syn"], st["values"], st["hard"],

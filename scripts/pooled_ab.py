@@ -52,9 +52,14 @@ def main():
     for cfg in args.configs:
         variant = "layered" if "layered" in cfg else "minsum"
         if cfg.startswith("pooled"):
+            # optional "@cN" suffix sets the pooled OSD chunk size
+            chunk = None
+            if "@c" in cfg:
+                chunk = int(cfg.split("@c")[1].split("+")[0])
             fns[cfg] = jax.jit(make_pooled_round_fn(
                 dec_z, dec_x, circ.num_error_locs, args.p, args.batch,
-                args.maxiter, args.osd_order, args.rpd, bp_variant=variant))
+                args.maxiter, args.osd_order, args.rpd, bp_variant=variant,
+                osd_chunk=chunk))
         else:
             base = make_round_fn(dec_z, dec_x, circ.num_error_locs, args.p,
                                  args.batch, args.maxiter, args.osd_order,
