@@ -174,93 +174,131 @@ def native_baseline(cache_key, M, seq, maxIter, osd_order, n_syn=48):
 
 
 def stage_audit(circ, dec_z, dec_x, p, batch, maxIter, osd_order,
-                round_shots_per_sec, bp_variant="minsum", passes=4):
+                round_shots_per_sec, bp_variant="minsum", passes=4,
+                n_lo=1, n_hi=5):
     """Same-session per-stage ms + roofline figures for the bench config.
 
-    Timing method: every stage is timed in ROUND-ROBIN interleaved passes
-    and reported as its minimum — the tunneled chip's throughput drifts on
-    minute scales, so back-to-back per-stage loops can hand one stage a
-    bad window and produce impossible audits (stages summing past the
-    measured round). Interleaving gives each stage a draw from each
-    window; the min is the closest estimate of the chip's capability
-    (same rationale as utils/benchloop.timed_windows).
+    Timing method — MARGINAL in-program cost, not standalone dispatches:
+    every dispatch over the TPU transport pays a fixed ~30-45ms floor, so
+    timing each stage as its own dispatch inflates every stage by that
+    floor and the "stages" can sum past the measured round (the r4 audit
+    did exactly that: sample 26ms + 2x BP 36ms > round 83ms). Here each
+    stage body runs n times under lax.scan over n DIFFERENT inputs inside
+    ONE jitted call, at two depths (n_lo, n_hi); the slope
+    (t_hi - t_lo) / (n_hi - n_lo) cancels the dispatch floor and any
+    per-program constant, leaving the true in-program per-batch cost —
+    the quantity that actually composes into the production round. The
+    two depths of all three stages are timed in ROUND-ROBIN interleaved
+    passes (min over passes) because the tunneled chip's throughput
+    drifts on minute scales (same rationale as utils/benchloop).
 
-    BP utilization is reported two ways: HBM traffic of the VMEM-resident
-    kernel call as a fraction of the 819GB/s roofline (tiny by design —
-    the kernel's point is that per-iteration state never touches HBM), and
-    the kernel's EFFECTIVE VMEM bandwidth from the slab-touch model
-    (~5 edge-stack traversals per iteration). OSD is characterized by its
-    measured full-batch ms and a cond-gating-aware share of the round:
-    the engine eliminates ~the unconverged fraction of sorted chunks
-    (the elimination's per-step floor and exit-depth data live in
-    CLAUDE.md / scripts/osd288_probe.py)."""
+    The OSD stage times the PRODUCTION path — engine._osd_fallback with
+    the engine's chunking, residual-weight sort, and lax.cond gating on
+    real BP outputs — so its share of the round is measured, not
+    estimated from a full-batch elimination x unconverged-fraction model.
+    ``stages_sum_ms`` (sample + 2x BP + 2x OSD) is reported next to the
+    measured round; if they disagree by >25% the audit emits
+    ``audit_drift_warning`` instead of silently steering optimization."""
     import jax
     import jax.numpy as jnp
 
     from qldpc_tpu.ops import sampler
-    from qldpc_tpu.ops.bp_lift_pallas import (decode_batch_lift_pallas,
-                                              viable_block_b)
-    from qldpc_tpu.ops.osd import osd_batch
-    from qldpc_tpu.parallel.engine import make_key
+    from qldpc_tpu.ops.bp_lift_pallas import viable_block_b
+    from qldpc_tpu.parallel.engine import (_bp_one_basis, _osd_fallback,
+                                           make_key)
 
     key = make_key(1)
     audit = {}
     g = dec_z.lifted
     schedule = "layered" if bp_variant == "layered" else "flooding"
-    use_kernel = g is not None and \
+    use_pallas = jax.default_backend() != "cpu"
+    use_kernel = use_pallas and g is not None and \
         viable_block_b(g, B=batch, schedule=schedule) is not None
+    chunk = batch if batch <= 64 else max(64, batch // 8)
 
+    # --- n_hi independently-sampled batches (stacked scan inputs: every
+    # scan iteration sees fresh data, so XLA cannot hoist the body) ---
     samp = jax.jit(lambda k, mz, mx: sampler.trial_batch(
-        k, p, mz, mx, circ.num_error_locs, batch=batch))
-    syn_z = samp(key, dec_z.maps, dec_x.maps)["syndrome_z"]
+        k, p, mz, mx, circ.num_error_locs, batch=batch)["syndrome_z"])
+    bp_full = jax.jit(lambda s, d: _bp_one_basis(
+        s, d, maxIter, 1.0, 20.0, use_pallas,
+        jnp.float32 if use_pallas else jnp.bfloat16, bp_variant))
+    syns, vals, hards, convs = [], [], [], []
+    for i in range(n_hi):
+        s = samp(jax.random.fold_in(key, i), dec_z.maps, dec_x.maps)
+        r = bp_full(s, dec_z)
+        syns.append(s)
+        vals.append(r["values"])
+        hards.append(r["hard"])
+        convs.append(r["converged"])
+    syn_st = jnp.stack(syns)
+    val_st = jnp.stack(vals)
+    hard_st = jnp.stack(hards)
+    conv_st = jnp.stack(convs)
+    audit["bp_unconverged_frac"] = round(
+        1.0 - float(jax.device_get(conv_st.sum())) / (n_hi * batch), 3)
 
-    if use_kernel:
-        bp_full = jax.jit(lambda s, d: decode_batch_lift_pallas(
-            d.lifted, s, d.prior, d.alpha_seq, maxIter,
-            msg_dtype=jnp.float32, schedule=schedule))
-        bp_fn = jax.jit(lambda s, d: [v.sum() if hasattr(v, "sum") else v
-                                      for v in bp_full(s, d).values()])
-    else:
-        from qldpc_tpu.ops.bp_lift import decode_batch_lift
-        bp_full = jax.jit(lambda s, d: decode_batch_lift(
-            d.lifted, s, d.prior, d.alpha_seq, maxIter,
-            msg_dtype=jnp.bfloat16))
-        bp_fn = jax.jit(lambda s, d: [v.sum() for v in
-                                      bp_full(s, d).values()])
-    r = bp_full(syn_z, dec_z)
-    vals, hard = r["values"], r["hard"]
-    if use_kernel:
-        audit["bp_unconverged_frac"] = round(
-            1.0 - float(jax.device_get(r["converged"].sum())) / batch, 3)
+    # --- scanned stage programs (reduce each iteration into the carry so
+    # nothing is dead; arrays are call ARGUMENTS, never baked constants) ---
+    def _scanned(body, n):
+        # the stacked inputs travel as ARGUMENTS (closure arrays would be
+        # baked into the HLO as constants — a compile-request blowup at
+        # [[288]] stack sizes, see the engine make_round_fn docstring)
+        @jax.jit
+        def run(xs, *args):
+            def step(c, x):
+                return c + body(x, *args), ()
+            c, _ = jax.lax.scan(
+                step, jnp.float32(0),
+                jax.tree.map(lambda v: v[:n], xs))
+            return c
+        return run
 
-    def osd_small(s, v, h, d):
-        rr = osd_batch(d.H, d.HT_bf16, s, v, h, K=d.K, order=osd_order,
-                       num_test=d.num_test, use_pallas=True, rank=d.rank,
-                       basis_cols=d.basis_cols,
-                       logical_pack=d.logical_pack, return_solution=False)
-        return (rr["logical_delta_packed"].sum(), rr["valid"].sum(),
-                rr["rank_deficient"].sum())
+    def sample_body(i, mz, mx):
+        s = sampler.trial_batch(jax.random.fold_in(key, i), p, mz, mx,
+                                circ.num_error_locs, batch=batch)
+        return sum(jnp.sum(v).astype(jnp.float32) for v in s.values())
 
-    stages = {
-        "sample": (lambda: jax.device_get(
-            {n: v.sum() for n, v in
-             samp(key, dec_z.maps, dec_x.maps).items()})),
-        "bp": (lambda: jax.device_get(bp_fn(syn_z, dec_z))),
-        "osd": (lambda fn=jax.jit(osd_small): jax.device_get(
-            fn(syn_z, vals, hard, dec_z))),
-    }
+    def bp_body(s, d):
+        r = _bp_one_basis(s, d, maxIter, 1.0, 20.0, use_pallas,
+                          jnp.float32 if use_pallas else jnp.bfloat16,
+                          bp_variant)
+        return sum(jnp.sum(v).astype(jnp.float32) for v in r.values())
+
+    def osd_body(x, d):
+        s, v, h, c = x
+        delta, rdef = _osd_fallback(s, v, h, c, d, osd_order, use_pallas,
+                                    chunk)
+        return (jnp.sum(delta) + jnp.sum(rdef)).astype(jnp.float32)
+
+    idx = jnp.arange(n_hi, dtype=jnp.uint32)
+    progs = {}
+    for n in (n_lo, n_hi):
+        progs[("sample", n)] = (_scanned(sample_body, n),
+                                (idx, dec_z.maps, dec_x.maps))
+        progs[("bp", n)] = (_scanned(bp_body, n), (syn_st, dec_z))
+        progs[("osd", n)] = (_scanned(osd_body, n),
+                             ((syn_st, val_st, hard_st, conv_st), dec_z))
     best = {}
-    for name, fn in stages.items():
-        fn()  # compile + warm
-        best[name] = float("inf")
+    for kk, (fn, args) in progs.items():
+        jax.block_until_ready(fn(*args))  # compile + warm
+        best[kk] = float("inf")
     for _ in range(max(3, passes)):
-        for name, fn in stages.items():
+        for kk, (fn, args) in progs.items():
             t0 = time.time()
-            fn()
-            best[name] = min(best[name], time.time() - t0)
+            jax.block_until_ready(fn(*args))
+            best[kk] = min(best[kk], time.time() - t0)
 
-    audit["sample_ms"] = round(best["sample"] * 1e3, 2)
-    t_bp, t_osd = best["bp"], best["osd"]
+    span = n_hi - n_lo
+    t_stage = {s: (best[(s, n_hi)] - best[(s, n_lo)]) / span
+               for s in ("sample", "bp", "osd")}
+    # fixed per-dispatch cost implied by the intercepts (tunnel floor +
+    # per-program constants), averaged over the three stages
+    audit["dispatch_floor_ms_est"] = round(np.mean(
+        [max(0.0, best[(s, n_lo)] - n_lo * t_stage[s]) * 1e3
+         for s in ("sample", "bp", "osd")]), 1)
+    audit["sample_ms"] = round(t_stage["sample"] * 1e3, 2)
+    t_bp, t_osd = t_stage["bp"], t_stage["osd"]
     audit["bp_ms_per_basis"] = round(t_bp * 1e3, 2)
     if use_kernel:
         # HBM traffic of the kernel call: syn in + posteriors/hardpack out
@@ -277,23 +315,25 @@ def stage_audit(circ, dec_z, dec_x, p, batch, maxIter, osd_order,
         vmem_passes = 5 if schedule == "flooding" else 8
         vmem_bytes = batch * slab * 4 * EB * vmem_passes * maxIter
         audit["bp_vmem_eff_gbps_upper"] = round(vmem_bytes / t_bp / 1e9, 0)
-    else:
+    elif g is not None:
         # the XLA lift streams the edge-message stack through HBM
-        EB = len(g.eb_pb) if g is not None else dec_z.graph.dr
-        slab = (g.ell * g.mm * g.T) if g is not None else dec_z.graph.m
+        EB = len(g.eb_pb)
+        slab = g.ell * g.mm * g.T
         stream = batch * slab * 2 * EB * 15  # bf16, ~15 stack traversals
         audit["bp_hbm_gbps"] = round(stream * maxIter / t_bp / 1e9, 1)
         audit["bp_hbm_frac_of_roofline"] = round(
             stream * maxIter / t_bp / 1e9 / HBM_GBPS, 3)
-    audit["osd_full_batch_ms_per_basis"] = round(t_osd * 1e3, 2)
+    audit["osd_engine_ms_per_basis"] = round(t_osd * 1e3, 2)
     round_ms = batch / round_shots_per_sec * 1e3
     audit["round_ms_per_batch"] = round(round_ms, 2)
-    # the engine's sorted cond-gated chunks eliminate ~the unconverged
-    # fraction of the batch; full-batch x unconverged x 2 bases over the
-    # measured round is the gating-aware share estimate
-    unconv = audit.get("bp_unconverged_frac", 1.0)
-    audit["osd_share_of_round_est"] = round(
-        min(1.0, 2 * t_osd * unconv * 1e3 / round_ms), 3)
+    stages_sum = t_stage["sample"] + 2 * t_bp + 2 * t_osd
+    audit["stages_sum_ms"] = round(stages_sum * 1e3, 2)
+    audit["osd_share_of_round"] = round(2 * t_osd * 1e3 / round_ms, 3)
+    if abs(stages_sum * 1e3 - round_ms) > 0.25 * round_ms:
+        audit["audit_drift_warning"] = (
+            f"stages sum to {stages_sum * 1e3:.1f}ms vs measured round "
+            f"{round_ms:.1f}ms (>25% apart) — chip drift or an unmodeled "
+            "stage; do not steer optimization from the shares alone")
     audit["hbm_roofline_gbps"] = HBM_GBPS
     return audit
 
@@ -355,6 +395,12 @@ def main():
             extra["[[288,12,18]]_vs_baseline"] = round(sps288 / base288, 1)
             print(f"[[288]] baseline: {base288:.2f} trials/s; "
                   f"TPU {sps288:,.0f} shots/s", file=sys.stderr)
+            try:
+                extra["stage_audit_[[288,12,18]]"] = stage_audit(
+                    c288, dz288, dx288, 0.005, b288, mi288, osd_order,
+                    sps288, bp_variant=bp_variant, n_lo=1, n_hi=3)
+            except Exception as e:  # pragma: no cover
+                extra["stage_audit_288_error"] = repr(e)
         except Exception as e:  # pragma: no cover
             extra["bench_288_error"] = repr(e)
 

@@ -255,12 +255,13 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
             # B=1024 with any stage1 in [128, 320] (flat plateau, outputs
             # identical; scripts/osd144_stage_ab.py 2026-08-21). 256 sits
             # mid-plateau and safely covers the exit-depth tail; tiny K
-            # (< 2*stage1) stays single-stage — nothing to narrow.
+            # (< 2*stage1) stays single-stage — nothing to narrow. Gates are
+            # on the TRUE K (not the padded Kp) so stage1 <= K/2 always.
             if B % 32 != 0:
                 stage1_cols = 0
-            elif Kp >= 2048:
+            elif K >= 2048:
                 stage1_cols = 768
-            elif Kp >= 512:
+            elif K >= 2 * 256:
                 stage1_cols = 256
             else:
                 stage1_cols = 0

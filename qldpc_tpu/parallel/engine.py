@@ -483,9 +483,12 @@ def _pooled_osd_phase(flat, dec_z, dec_x, batch, osd_order, use_pallas,
                       chunk: int = None):
     """Pooled OSD + readout over the flattened multi-round BP state: the
     post-scan half of a pooled round. ``batch`` is the PER-ROUND batch —
-    the default chunk size matches the per-round schedule's (compile-cost
-    parity: the pooled phase unrolls n_rounds * (batch/chunk) conds,
-    exactly as many elimination call sites as the per-round schedule);
+    the default chunk size matches the per-round schedule's (RUNTIME
+    cond-count parity: the pooled phase evaluates n_rounds * (batch/chunk)
+    chunk conds per basis, the same number the scanned schedule evaluates
+    across its rounds — but they are unrolled at top level, so PROGRAM
+    SIZE grows ~n_rounds x vs the scan body's single set of call sites;
+    raise ``chunk`` for big-K codes if remote compile time regresses);
     pass ``chunk`` to trade gating granularity against call sites."""
     if chunk is None:
         chunk = batch if batch <= 64 else max(64, batch // 8)
@@ -660,6 +663,118 @@ def _crossing_take(a: np.ndarray, remaining: int) -> int:
     return int(np.searchsorted(cum, remaining)) + 1
 
 
+_GATHER_KEYS = ("z_err", "x_err", "any_err", "z_rankdef", "x_rankdef")
+
+
+def _drive_stopping_rounds(dispatch, gather_flags, n_streams: int,
+                           round_shots: int, max_trials: int,
+                           target_logical_errors, verbose: bool,
+                           names, on_progress=None, pipeline_depth: int = 2):
+    """THE sequential-stopping round loop, shared by ``run_simulation``
+    (one stream) and ``run_multi_code_simulation`` (one stream per code).
+    Reference anchor: the single ``pool.imap`` consume loop of
+    reference src/simulation/engine.py:433-464 — trials are accounted in
+    global shot order, each stream truncates at the exact trial where its
+    ``target_logical_errors``-th error occurs, and the run ends when every
+    stream is done (multi-code launches keep decoding finished codes and
+    discard their results until the slowest finishes; the engine logs it).
+
+    ``dispatch(round_idx)`` -> list of per-stream device-resident flag
+    dicts (psum ``*_count`` scalars + shot-sharded flag vectors). Steady-
+    state rounds consume ONLY the replicated 4-byte counts; per-shot flag
+    vectors are all-gathered solely in a stream's crossing (or truncated
+    final) round — the multi-host contract (see mesh.shard_rounds).
+    Up to ``pipeline_depth`` rounds stay in flight so the fixed dispatch
+    latency of the TPU transport overlaps host accounting.
+
+    Returns per-stream tallies + wall timing: dict with lists ``trials``,
+    ``z_errs``, ``x_errs``, ``tot_errs``, ``rankdef``, ``steady_trials``
+    and scalars ``elapsed``, ``steady_elapsed``."""
+    stop_on_errors = (target_logical_errors is not None
+                      and target_logical_errors > 0)
+    trials = [0] * n_streams
+    z_errs, x_errs, tot = [0] * n_streams, [0] * n_streams, [0] * n_streams
+    rankdef = [0] * n_streams
+    done = [False] * n_streams
+    t_start = time.time()
+    t_steady = None
+    steady = [0] * n_streams
+    round_idx = 0
+    from collections import deque
+    inflight: deque = deque()
+    while not all(done):
+        while len(inflight) < pipeline_depth:
+            inflight.append(dispatch(round_idx))
+            round_idx += 1
+        outs = inflight.popleft()
+        # one host transfer for every live stream's psum scalar counts
+        counts = jax.device_get([
+            {k: v for k, v in o.items() if k.endswith("_count")}
+            for o in outs])
+        for i, o in enumerate(outs):
+            if done[i]:
+                continue
+            take = min(round_shots, max_trials - trials[i])
+            a_cnt = int(counts[i]["any_err_count"])
+            crossing = (stop_on_errors
+                        and tot[i] + a_cnt >= target_logical_errors)
+            if crossing or take < round_shots:
+                # the crossing (or truncated final) round needs per-shot
+                # flags in global shot order for the exact sequential rule
+                g = jax.device_get(gather_flags(
+                    {k: o[k] for k in _GATHER_KEYS if k in o}))
+                z = np.asarray(g["z_err"][:take])
+                x = np.asarray(g["x_err"][:take])
+                a = np.asarray(g["any_err"][:take])
+                if stop_on_errors and a.size and \
+                        tot[i] + int(a.sum()) >= target_logical_errors:
+                    take = _crossing_take(a, tot_errs_target(
+                        target_logical_errors, tot[i]))
+                    z, x, a = z[:take], x[:take], a[:take]
+                z_inc, x_inc, a_inc = int(z.sum()), int(x.sum()), int(a.sum())
+                rd = sum(int(np.asarray(g[k][:take]).sum())
+                         for k in ("z_rankdef", "x_rankdef") if k in g)
+            else:
+                z_inc = int(counts[i]["z_err_count"])
+                x_inc = int(counts[i]["x_err_count"])
+                a_inc = a_cnt
+                rd = (int(counts[i].get("z_rankdef_count", 0))
+                      + int(counts[i].get("x_rankdef_count", 0)))
+            trials[i] += take
+            z_errs[i] += z_inc
+            x_errs[i] += x_inc
+            tot[i] += a_inc
+            if rd:
+                rankdef[i] += rd
+                logger.warning(
+                    "OSD rank deficiency on %d shot-bases this round — the "
+                    "K=m+margin column truncation fell short of full rank; "
+                    "re-run with a larger osd_margin for these settings", rd)
+            if (stop_on_errors and tot[i] >= target_logical_errors) or \
+                    trials[i] >= max_trials:
+                done[i] = True
+                if verbose and n_streams > 1 and not all(done):
+                    logger.info(
+                        "multi-code: %s reached its target after %d trials; "
+                        "its share of each remaining launch is discarded "
+                        "until the slowest code finishes",
+                        names[i], trials[i])
+            if on_progress is not None:
+                on_progress(i, trials[i], tot[i])
+        if t_steady is None:  # first round carries the compile cost
+            t_steady = time.time()
+            steady = list(trials)
+        if verbose:
+            logger.info("round %d: %s", round_idx,
+                        {nm: (trials[i], tot[i])
+                         for i, nm in enumerate(names)})
+    elapsed = time.time() - t_start
+    steady_elapsed = (time.time() - t_steady) if t_steady else elapsed
+    return dict(trials=trials, z_errs=z_errs, x_errs=x_errs, tot_errs=tot,
+                rankdef=rankdef, steady_trials=steady, elapsed=elapsed,
+                steady_elapsed=steady_elapsed)
+
+
 def run_multi_code_simulation(
     codes, error_rate, num_cycles=None, maxIter=50, osd_order=0,
     alpha_mode="dynamical", alvarado_alpha=None,
@@ -756,68 +871,14 @@ def run_multi_code_simulation(
     decs = replicate(decs, mesh)
     round_shots = batch_size * n_dev * rounds_per_dispatch
     key = make_key(base_seed)
-    n = len(resolved)
-    trials = [0] * n
-    z_errs, x_errs, tot = [0] * n, [0] * n, [0] * n
-    done = [False] * n
-    t_start = time.time()
-    t_steady = None
-    steady = [0] * n
-    round_idx = 0
-    while not all(done):
-        outs = sharded(jax.random.fold_in(key, round_idx), decs)
-        round_idx += 1
-        # one host transfer for every live code's psum scalar counts
-        counts = jax.device_get([
-            {k: o[k] for k in ("z_err_count", "x_err_count",
-                               "any_err_count")}
-            for o in outs])
-        for i, o in enumerate(outs):
-            if done[i]:
-                continue
-            take = min(round_shots, max_trials - trials[i])
-            a_cnt = int(counts[i]["any_err_count"])
-            crossing = (stop_on_errors
-                        and tot[i] + a_cnt >= target_logical_errors)
-            if crossing or take < round_shots:
-                # the crossing (or truncated final) round needs per-shot
-                # flags in global shot order for the exact sequential rule
-                g = jax.device_get(gather_flags(
-                    {k: o[k] for k in ("z_err", "x_err", "any_err")}))
-                z = np.asarray(g["z_err"][:take])
-                x = np.asarray(g["x_err"][:take])
-                a = np.asarray(g["any_err"][:take])
-                if stop_on_errors and \
-                        tot[i] + int(a.sum()) >= target_logical_errors:
-                    take = _crossing_take(
-                        a, tot_errs_target(target_logical_errors, tot[i]))
-                    z, x, a = z[:take], x[:take], a[:take]
-                z_inc, x_inc, a_inc = int(z.sum()), int(x.sum()), int(a.sum())
-            else:
-                z_inc = int(counts[i]["z_err_count"])
-                x_inc = int(counts[i]["x_err_count"])
-                a_inc = a_cnt
-            trials[i] += take
-            z_errs[i] += z_inc
-            x_errs[i] += x_inc
-            tot[i] += a_inc
-            if (stop_on_errors and tot[i] >= target_logical_errors) or \
-                    trials[i] >= max_trials:
-                done[i] = True
-                if verbose and not all(done):
-                    logger.info(
-                        "multi-code: %s reached its target after %d trials; "
-                        "its share of each remaining launch is discarded "
-                        "until the slowest code finishes", names[i], trials[i])
-        if t_steady is None:
-            t_steady = time.time()
-            steady = list(trials)
-        if verbose:
-            logger.info("multi-code round %d: %s", round_idx,
-                        {nm: (trials[i], tot[i])
-                         for i, nm in enumerate(names)})
-    elapsed = time.time() - t_start
-    steady_elapsed = (time.time() - t_steady) if t_steady else elapsed
+
+    st = _drive_stopping_rounds(
+        lambda ri: sharded(jax.random.fold_in(key, ri), decs),
+        gather_flags, len(resolved), round_shots, max_trials,
+        target_logical_errors if stop_on_errors else None, verbose, names)
+
+    trials, steady = st["trials"], st["steady_trials"]
+    elapsed, steady_elapsed = st["elapsed"], st["steady_elapsed"]
     steady_done = sum(trials) - sum(steady)
     combined_rate = (steady_done / steady_elapsed if steady_done
                      else sum(trials) / max(elapsed, 1e-9))
@@ -825,11 +886,11 @@ def run_multi_code_simulation(
     for i, nm in enumerate(names):
         code_steady = trials[i] - steady[i]
         results[nm] = {
-            "logical_error_rate": tot[i] / max(1, trials[i]),
-            "z_logical_error_rate": z_errs[i] / max(1, trials[i]),
-            "x_logical_error_rate": x_errs[i] / max(1, trials[i]),
+            "logical_error_rate": st["tot_errs"][i] / max(1, trials[i]),
+            "z_logical_error_rate": st["z_errs"][i] / max(1, trials[i]),
+            "x_logical_error_rate": st["x_errs"][i] / max(1, trials[i]),
             "num_trials": trials[i],
-            "logical_errors": tot[i],
+            "logical_errors": st["tot_errs"][i],
             # this code's own decoded-trial rate; the launch-level aggregate
             # across all codes is combined_shots_per_sec
             "shots_per_sec": (code_steady / steady_elapsed if code_steady
@@ -837,6 +898,7 @@ def run_multi_code_simulation(
             "combined_shots_per_sec": combined_rate,
             "elapsed_sec": elapsed,
             "num_devices": n_dev,
+            "osd_rank_deficient_shots": st["rankdef"][i],
         }
         results[nm].update(extras[i])
     return results
@@ -968,8 +1030,6 @@ def run_simulation(
         (dec_z, dec_x, jnp.float32(error_rate)), mesh)
 
     key = make_key(base_seed)
-    z_errs = x_errs = tot_errs = trials_run = 0
-    rankdef_seen = 0
     progress = None
     if verbose:
         try:  # live progress like the reference's rich bar (engine.py:436)
@@ -981,99 +1041,42 @@ def run_simulation(
                 desc=f"p={error_rate:g}", leave=False)
         except ImportError:  # pragma: no cover
             pass
-    t_start = time.time()
-    t_steady = None  # set after the first (compile-bearing) round
-    steady_trials = 0
-    round_idx = 0
-    # Keep up to 2 rounds in flight: device dispatch over the TPU transport
-    # has tens of ms of fixed latency per call, which pipelining hides
-    # (results stream back in order; an unused final in-flight round is the
-    # only waste). PIPELINE_DEPTH=1 restores strictly serial rounds.
-    PIPELINE_DEPTH = 2
-    from collections import deque
-    inflight: deque = deque()
-    while trials_run < max_trials:
-        while len(inflight) < PIPELINE_DEPTH:
-            inflight.append(sharded(jax.random.fold_in(key, round_idx),
-                                    dec_z, dec_x, p_arg))
-            round_idx += 1
-        flags = inflight.popleft()  # device-resident; flag vectors stay
-        # sharded on the mesh and are NEVER fetched in steady state — the
-        # stopping loop consumes only the psum-reduced replicated scalar
-        # counts (4 bytes each), which every process of a multi-host run
-        # can legally read
-        counts = {k: int(v) for k, v in jax.device_get(
-            {k: v for k, v in flags.items() if k.endswith("_count")}).items()}
-        round_count = counts["any_err_count"]
-        take = min(round_shots, max_trials - trials_run)
-        crossing = (stop_on_errors
-                    and tot_errs + round_count >= target_logical_errors)
-        if crossing or take < round_shots:
-            # the round that crosses the stopping target (or a final round
-            # truncated by max_trials) needs per-shot flags in global shot
-            # order to reproduce the reference's exact sequential rule; an
-            # explicit jitted all-gather makes them replicated, hence
-            # addressable from every process
-            g = jax.device_get(gather_flags(
-                {k: flags[k] for k in ("z_err", "x_err", "any_err",
-                                       "z_rankdef", "x_rankdef")}))
-            z = np.asarray(g["z_err"][:take])
-            x = np.asarray(g["x_err"][:take])
-            a = np.asarray(g["any_err"][:take])
-            if crossing and a.size and \
-                    int(a.sum()) + tot_errs >= target_logical_errors:
-                take = _crossing_take(a, tot_errs_target(
-                    target_logical_errors, tot_errs))
-                z, x, a = z[:take], x[:take], a[:take]
-            z_inc, x_inc, a_inc = int(z.sum()), int(x.sum()), int(a.sum())
-            rd = (int(np.asarray(g["z_rankdef"][:take]).sum())
-                  + int(np.asarray(g["x_rankdef"][:take]).sum()))
-        else:
-            z_inc, x_inc = counts["z_err_count"], counts["x_err_count"]
-            a_inc = round_count
-            rd = counts["z_rankdef_count"] + counts["x_rankdef_count"]
-        trials_run += take
-        z_errs += z_inc
-        x_errs += x_inc
-        tot_errs += a_inc
-        if rd:
-            rankdef_seen += rd
-            logger.warning(
-                "OSD rank deficiency on %d shot-bases this round — the "
-                "K=m+margin column truncation fell short of full rank; "
-                "re-run with a larger osd_margin for these settings", rd)
-        if t_steady is None:  # first round carries the compile cost
-            t_steady = time.time()
-            steady_trials = trials_run
+
+    def on_progress(_i, trials_now, errs_now):
         if progress is not None:
-            done_units = tot_errs if stop_on_errors else trials_run
+            done_units = errs_now if stop_on_errors else trials_now
             progress.update(done_units - progress.n)
-            progress.set_postfix(trials=trials_run, ler=(
-                f"{tot_errs / max(1, trials_run):.3g}"))
-        if verbose:
-            logger.info("p=%.4g trials=%d errors=%d/%s", error_rate,
-                        trials_run, tot_errs,
-                        target_logical_errors if stop_on_errors else "inf")
-        if stop_on_errors and tot_errs >= target_logical_errors:
-            break
+            progress.set_postfix(trials=trials_now, ler=(
+                f"{errs_now / max(1, trials_now):.3g}"))
+
+    # Up to 2 rounds stay in flight inside the driver: device dispatch over
+    # the TPU transport has tens of ms of fixed latency per call, which
+    # pipelining hides (results stream back in order; an unused final
+    # in-flight round is the only waste).
+    st = _drive_stopping_rounds(
+        lambda ri: [sharded(jax.random.fold_in(key, ri),
+                            dec_z, dec_x, p_arg)],
+        gather_flags, 1, round_shots, max_trials,
+        target_logical_errors if stop_on_errors else None, verbose,
+        [f"p={error_rate:g}"], on_progress=on_progress)
     if progress is not None:
         progress.close()
-    elapsed = time.time() - t_start
+    trials_run, tot_errs = st["trials"][0], st["tot_errs"][0]
+    elapsed, steady_elapsed = st["elapsed"], st["steady_elapsed"]
     # steady-state throughput excludes the first round's compile time
-    steady_elapsed = (time.time() - t_steady) if t_steady else elapsed
-    steady_done = trials_run - steady_trials
+    steady_done = trials_run - st["steady_trials"][0]
 
     result = {
         "logical_error_rate": tot_errs / max(1, trials_run),
-        "z_logical_error_rate": z_errs / max(1, trials_run),
-        "x_logical_error_rate": x_errs / max(1, trials_run),
+        "z_logical_error_rate": st["z_errs"][0] / max(1, trials_run),
+        "x_logical_error_rate": st["x_errs"][0] / max(1, trials_run),
         "num_trials": trials_run,
         "logical_errors": tot_errs,
         "shots_per_sec": (steady_done / steady_elapsed if steady_done
                           else trials_run / max(elapsed, 1e-9)),
         "elapsed_sec": elapsed,
         "num_devices": n_dev,
-        "osd_rank_deficient_shots": rankdef_seen,
+        "osd_rank_deficient_shots": st["rankdef"][0],
     }
     result.update(result_extra)
     return result

@@ -48,17 +48,24 @@ def measure(fn_decs, key, batch, rpd, seconds=6.0):
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("maxiters", nargs="*", type=int, default=None)
+    ap.add_argument("maxiters", nargs="*", default=None,
+                    help="maxIter values; an entry may pin its own variant "
+                         "as MI:VARIANT (e.g. '200:minsum 50:layered') to "
+                         "interleave heterogeneous configs instead of the "
+                         "maxiters x variants cross product")
     ap.add_argument("--code", default="[[144, 12, 12]]")
     ap.add_argument("--p", type=float, default=0.004)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--rpd", type=int, default=4)
+    ap.add_argument("--pooled", action="store_true",
+                    help="use the engine-default pooled (cross-round OSD "
+                         "compaction) schedule instead of scanned rounds")
     ap.add_argument("--variant", default="minsum",
                     help="bp_variant: minsum | layered | tanh; a comma "
                          "list interleaves variants in the same session "
                          "(drift-fair A/B)")
     args = ap.parse_args()
-    maxiters = args.maxiters or [20, 30, 50]
+    maxiters = args.maxiters or ["20", "30", "50"]
     code = get_code(args.code)
     cycles, p = code.distance, args.p
     batch, rpd, osd_order = args.batch, args.rpd, 2
@@ -71,18 +78,31 @@ def main():
 
     key = make_key(0)
     variants = args.variant.split(",")
-    configs = [(mi, v) for mi in maxiters for v in variants]
+    configs = []
+    for entry in maxiters:
+        entry = str(entry)
+        if ":" in entry:
+            mi_s, v = entry.split(":")
+            configs.append((int(mi_s), v))
+        else:
+            configs.extend((int(entry), v) for v in variants)
     fns = {}
     for mi, variant in configs:
         seq = alpha_schedule("dynamical", mi)
         dz = _make_basis(circ, M, "Z", seq, osd_order=osd_order)
         dx = _make_basis(circ, M, "X", seq, osd_order=osd_order)
-        base = make_round_fn(dz, dx, circ.num_error_locs, p, batch, mi,
-                             osd_order, bp_variant=variant)
-        # bundles travel as jit ARGUMENTS: baked [[288]]-sized closure
-        # constants exceed the remote compile service's request limit
-        fns[(mi, variant)] = (jax.jit(make_scanned_round_fn(base, rpd)),
-                              dz, dx)
+        if args.pooled and rpd > 1:
+            from qldpc_tpu.parallel.engine import make_pooled_round_fn
+            fn = jax.jit(make_pooled_round_fn(
+                dz, dx, circ.num_error_locs, p, batch, mi, osd_order, rpd,
+                bp_variant=variant))
+        else:
+            base = make_round_fn(dz, dx, circ.num_error_locs, p, batch, mi,
+                                 osd_order, bp_variant=variant)
+            # bundles travel as jit ARGUMENTS: baked [[288]]-sized closure
+            # constants exceed the remote compile service's request limit
+            fn = jax.jit(make_scanned_round_fn(base, rpd))
+        fns[(mi, variant)] = (fn, dz, dx)
 
     # two interleaved passes so chip drift hits all configs equally
     results = {c: [] for c in configs}
