@@ -176,6 +176,125 @@ sol = np.where(conv[:, None], np.asarray(bp["hard"]),
 print("every decoded pattern reproduces its syndrome:",
       np.array_equal((sol @ HdecZ.T) % 2, synZ))"""),
     (MD, """\
+### Order-w reprocessing, worked by hand on [[4,2,2]]
+
+OSD-0 *always* reproduces a physical syndrome (it solves the pivot
+system exactly) — what order-w reprocessing improves is the **weight**:
+it searches small flip sets of the least-reliable non-pivot columns for
+a *more probable* explanation of the same syndrome (the reference's
+naive-OSD linear-algebra walkthrough, `toy_example.ipynb` cells 16–33).
+Here the whole search is small enough to print: the [[4,2,2]] Z-basis
+decoding matrix from `examples/toy_422.py` (hand-derived fault classes),
+a visible Gauss–Jordan elimination in reliability order, and the
+penalized-|LLR| scoring table over every flip set.
+
+One faithful subtlety: the production decoder (like the reference
+engine, `osd.py:27-29`) RETURNS OSD-0 whenever it already reproduces
+the syndrome — the order-w candidates are consulted only when OSD-0's
+syndrome check fails (scored lexicographically by `(unsatisfied
+checks, sum|LLR|)`). The table below is therefore the *textbook*
+OSD-w search the candidates come from; the framework cross-check at
+the end shows the gated production behavior."""),
+    (CODE, """\
+import itertools, toy_422
+Hfull, probs422 = toy_422.decoding_matrix_z(error_rate=0.05)
+H4 = Hfull[:4].astype(np.uint8)                # 4 syndrome rows x classes
+llr4 = np.log((1 - probs422) / probs422)       # per-class reliability
+order4 = np.argsort(np.abs(llr4))              # least reliable first
+print(f"{H4.shape[1]} fault classes; reliability-sorted column order:")
+print(order4)
+
+def gauss_jordan(Hp, s):
+    \"\"\"Visible swap-free GF(2) elimination (what the bit-packed kernel
+    does 32-columns-per-word, batched over shots).\"\"\"
+    Hp, s, used, piv_of_col = Hp.copy(), s.copy(), np.zeros(4, bool), {}
+    for c in range(Hp.shape[1]):
+        rows = np.nonzero(Hp[:, c] & ~used)[0]
+        if not rows.size:
+            continue
+        r = rows[0]
+        for r2 in np.nonzero(Hp[:, c])[0]:
+            if r2 != r:
+                Hp[r2] ^= Hp[r]
+                s[r2] ^= s[r]
+        used[r] = True
+        piv_of_col[c] = r
+        if used.all():
+            break
+    return Hp, s, piv_of_col
+
+def osd0(syn):
+    Hp = H4[:, order4]
+    Hr, sr, piv = gauss_jordan(Hp, syn.copy())
+    e = np.zeros(H4.shape[1], np.uint8)
+    for c, r in piv.items():
+        e[order4[c]] = sr[r]
+    return e, piv
+
+syn_demo = (H4[:, 5] ^ H4[:, 11]).astype(np.uint8)   # a two-fault syndrome
+e0, piv = osd0(syn_demo)
+w = lambda e: np.abs(llr4)[e.astype(bool)].sum()
+print(f"\\nsyndrome {syn_demo}: OSD-0 support {np.nonzero(e0)[0]}, "
+      f"metric sum|LLR| = {w(e0):.3f}")"""),
+    (CODE, """\
+# order-2 reprocessing: flip sets over the least-reliable NON-pivot
+# columns; each candidate re-solves the pivots, score = sum|LLR|
+nonpiv = [c for c in range(H4.shape[1])
+          if c not in {order4[c] for c in piv}]
+tests = [c for c in order4 if c in nonpiv][:6]
+cands = [(w(e0), (), e0)]
+for size in (1, 2):
+    for flip in itertools.combinations(tests, size):
+        syn_f = syn_demo.copy()
+        for c in flip:
+            syn_f ^= H4[:, c]
+        e, _ = osd0(syn_f)
+        for c in flip:
+            e[c] ^= 1
+        assert not (((H4 @ e) % 2) ^ syn_demo).any()
+        cands.append((w(e), flip, e))
+for metric, flip, _ in sorted(cands)[:5]:
+    print(f"flips {str(flip):14s} -> metric {metric:7.3f}")
+best = min(cands)
+print(f"\\nwinner: flips {best[1]} support {np.nonzero(best[2])[0]} "
+      f"(OSD-0 was {np.nonzero(e0)[0]})")
+
+# the framework (= reference semantics): OSD-0 already reproduces the
+# syndrome, so the gated order-w search never fires and OSD-0 is returned
+r = osd_batch(jnp.asarray(H4),
+              jnp.asarray(H4.T, dtype=jnp.bfloat16),
+              jnp.asarray(syn_demo[None]),
+              jnp.asarray(llr4[None], jnp.float32),
+              jnp.zeros((1, H4.shape[1]), jnp.int8),
+              K=H4.shape[1], order=2, num_test=6)
+e_fw = np.asarray(r["solution"][0])
+print(f"osd_batch(order=2): valid={bool(r['valid'][0])}, "
+      f"support {np.nonzero(e_fw)[0]}, metric {w(e_fw):.3f}")
+assert np.array_equal(e_fw, e0), "production path must return OSD-0 here"
+print("-> equals OSD-0, as the reference's validity gate dictates")"""),
+    (MD, """\
+### Calibrating the min-sum scaling (Alvarado fit)
+
+The `dynamical` schedule is a fixed guess; the data-driven modes FIT the
+min-sum overestimation factor from the decoder's own messages: one
+unscaled min-sum pass over sampled noise, bucket the messages, and
+regress true-vs-raw log-ratios (reference `alpha.py:84-157`). The fitted
+slope IS alpha; R² gates whether it is trusted (low-R² fits fall back to
+the dynamical value instead of poisoning the schedule — a beyond-
+reference guard, see `ops/calibrate.py`)."""),
+    (CODE, """\
+import tempfile
+from IPython.display import Image, display
+from qldpc_tpu.ops import calibrate
+tmp = tempfile.mkdtemp()
+fit_png = os.path.join(tmp, "alvarado_fit.png")
+alpha_fit, r2 = calibrate.estimate_alpha_alvarado(
+    HdecZ, p, trials=500, llrs=llrs, key=jax.random.key(7),
+    plot_path=fit_png)
+print(f"fitted alpha = {alpha_fit:.3f} (R^2 = {r2:.3f}); "
+      f"dynamical iteration-0 alpha = 0.5")
+display(Image(fit_png))"""),
+    (MD, """\
 ## 7. End-to-end Monte-Carlo LER
 
 `run_simulation` is the reference-compatible orchestrator: one call takes

@@ -648,6 +648,12 @@ def _calibrate_basis_sequences(matrices, error_rate, alpha_mode,
                         multihost_utils.broadcast_one_to_all(
                             (np.asarray(seq_z, np.float32),
                              np.asarray(seq_x, np.float32))))
+    if alpha_mode != "dynamical":
+        # the POST-broadcast per-iteration sequences the decoder actually
+        # consumes — lets multi-process validation assert bit-identity
+        # across processes (scripts/multihost_smoke.py)
+        result_extra["alpha_seq_z"] = np.asarray(seq_z, np.float32).tolist()
+        result_extra["alpha_seq_x"] = np.asarray(seq_x, np.float32).tolist()
     result_extra["alpha_z"] = alpha_z
     result_extra["alpha_x"] = alpha_x
     return seq_z, seq_x, result_extra

@@ -32,7 +32,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIG = dict(code="[[72, 12, 6]]", error_rate=0.006, num_cycles=6,
               maxIter=8, osd_order=1, batch_size=32, base_seed=42,
-              target_logical_errors=25, max_trials=2000)
+              target_logical_errors=25, max_trials=2000,
+              alpha_mode="dynamical")
+
+# Second config: the data-driven calibration path. The fitted alpha
+# sequences are computed on EVERY process and broadcast from process 0
+# (engine._calibrate_basis_sequences) — this config proves that code path
+# executes on a real 2-process cluster, that the post-broadcast sequences
+# are bit-identical on both processes, and that stopping still matches the
+# single-process run exactly (VERDICT r4 item 5).
+CONFIGS = {
+    "dynamical": CONFIG,
+    "calibrated": dict(CONFIG, alpha_mode="alvarado-autoregressive",
+                       alpha_estimation_trials=400),
+}
 
 
 def child_env(extra):
@@ -47,7 +60,8 @@ def child_env(extra):
     return env
 
 
-def run_child(n_virtual: int, dist: dict, out_path: str):
+def run_child(n_virtual: int, dist: dict, out_path: str,
+              config: str = "dynamical"):
     extra = {"XLA_FLAGS": f"--xla_force_host_platform_device_count={n_virtual}"}
     extra.update({k: str(v) for k, v in dist.items()})
     # child output goes to a FILE, not a pipe: two live cluster members
@@ -56,7 +70,7 @@ def run_child(n_virtual: int, dist: dict, out_path: str):
     log = open(out_path + ".log", "w")
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child",
-         "--out", out_path],
+         "--out", out_path, "--config", config],
         env=child_env(extra), cwd=REPO,
         stdout=log, stderr=subprocess.STDOUT, text=True)
     proc._log_file = log
@@ -64,7 +78,7 @@ def run_child(n_virtual: int, dist: dict, out_path: str):
     return proc
 
 
-def child_main(out_path: str):
+def child_main(out_path: str, config: str = "dynamical"):
     sys.path.insert(0, REPO)
     from qldpc_tpu.parallel.mesh import distributed_init_from_env
     initialized = distributed_init_from_env()
@@ -75,7 +89,7 @@ def child_main(out_path: str):
     from qldpc_tpu.utils.caching import (compute_cache_key, load_matrices,
                                          save_matrices)
 
-    cfg = CONFIG
+    cfg = CONFIGS[config]
     code = get_code(cfg["code"])
     circ = SyndromeCircuit(code, num_cycles=cfg["num_cycles"])
     key = compute_cache_key(code.Hx, code.Hz, code.Lx, code.Lz,
@@ -89,7 +103,8 @@ def child_main(out_path: str):
     res = run_simulation(
         code.Hx, code.Hz, code.Lx, code.Lz, cfg["error_rate"],
         num_cycles=cfg["num_cycles"], maxIter=cfg["maxIter"],
-        osd_order=cfg["osd_order"], alpha_mode="dynamical",
+        osd_order=cfg["osd_order"], alpha_mode=cfg["alpha_mode"],
+        alpha_estimation_trials=cfg.get("alpha_estimation_trials"),
         target_logical_errors=cfg["target_logical_errors"],
         max_trials=cfg["max_trials"], base_seed=cfg["base_seed"],
         batch_size=cfg["batch_size"], precomputed_matrices=M,
@@ -107,6 +122,11 @@ def child_main(out_path: str):
         x_errors=round(res["x_logical_error_rate"] * res["num_trials"]),
         logical_error_rate=res["logical_error_rate"],
     )
+    if "alpha_seq_z" in res:
+        # the POST-broadcast sequences the decoder consumed: the parent
+        # asserts these are bit-identical across cluster processes
+        out["alpha_seq_z"] = res["alpha_seq_z"]
+        out["alpha_seq_x"] = res["alpha_seq_x"]
     with open(out_path, "w") as f:
         json.dump(out, f)
     print("child result:", json.dumps(out), flush=True)
@@ -120,48 +140,44 @@ def free_port() -> int:
     return port
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--child", action="store_true")
-    ap.add_argument("--out", default=None)
-    args = ap.parse_args()
-    if args.child:
-        child_main(args.out)
-        return
-
+def run_config(name: str) -> dict:
+    """Single-process reference + 2-process cluster for one config; returns
+    the per-config verdict dict."""
     os.makedirs("/tmp/qldpc_mh", exist_ok=True)
     # 1) single-process reference on 8 virtual devices
-    ref_path = "/tmp/qldpc_mh/single.json"
-    p = run_child(8, {}, ref_path)
+    ref_path = f"/tmp/qldpc_mh/single_{name}.json"
+    p = run_child(8, {}, ref_path, config=name)
     p.wait(timeout=1200)
     p._log_file.close()
     if p.returncode != 0:
         print(open(p._log_path).read())
-        raise SystemExit("single-process reference run failed")
+        raise SystemExit(f"single-process reference run failed ({name})")
     ref = json.load(open(ref_path))
-    print("single-process:", json.dumps(ref))
+    print(f"[{name}] single-process:", json.dumps(
+        {k: v for k, v in ref.items() if not k.startswith("alpha_seq")}))
 
     # 2) 2-process cluster, 4 virtual devices each (global mesh: 8)
     port = free_port()
     paths, procs = [], []
     for i in range(2):
-        path = f"/tmp/qldpc_mh/proc{i}.json"
+        path = f"/tmp/qldpc_mh/{name}_proc{i}.json"
         paths.append(path)
         procs.append(run_child(4, {
             "QLDPC_COORDINATOR": f"localhost:{port}",
             "QLDPC_NUM_PROCESSES": 2,
             "QLDPC_PROCESS_ID": i,
-        }, path))
+        }, path, config=name))
     for p in procs:
         p.wait(timeout=1200)
         p._log_file.close()
     for i, p in enumerate(procs):
         if p.returncode != 0:
             print(f"--- process {i} output ---\n{open(p._log_path).read()}")
-            raise SystemExit(f"cluster process {i} failed")
+            raise SystemExit(f"cluster process {i} failed ({name})")
     r0, r1 = (json.load(open(path)) for path in paths)
-    print("cluster proc0:  ", json.dumps(r0))
-    print("cluster proc1:  ", json.dumps(r1))
+    for tag, r in (("proc0", r0), ("proc1", r1)):
+        print(f"[{name}] cluster {tag}:  ", json.dumps(
+            {k: v for k, v in r.items() if not k.startswith("alpha_seq")}))
 
     def stats(r):
         return (r["num_trials"], r["logical_errors"], r["z_errors"],
@@ -171,9 +187,34 @@ def main():
           and r0["num_devices"] == 8 and ref["num_devices"] == 8
           and stats(r0) == stats(r1) == stats(ref))
     verdict = dict(ok=bool(ok), single=ref, proc0=r0, proc1=r1,
-                   config=CONFIG)
+                   config=CONFIGS[name])
+    if "alpha_seq_z" in ref:
+        # calibrated path: the fitted, broadcast sequences must be
+        # bit-identical on both processes AND match the single-process fit
+        # (same data + same seed; proc-0 broadcast pins any numeric drift)
+        seq_ok = all(r0[k] == r1[k] == ref[k]
+                     for k in ("alpha_seq_z", "alpha_seq_x"))
+        verdict["alpha_seq_bit_identical"] = bool(seq_ok)
+        verdict["ok"] = bool(ok and seq_ok)
+    return verdict
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--config", default="dynamical",
+                    choices=sorted(CONFIGS))
+    args = ap.parse_args()
+    if args.child:
+        child_main(args.out, args.config)
+        return
+
+    verdicts = {name: run_config(name) for name in CONFIGS}
+    ok = all(v["ok"] for v in verdicts.values())
+    out = dict(ok=ok, **verdicts)
     with open(os.path.join(REPO, "MULTIHOST.json"), "w") as f:
-        json.dump(verdict, f, indent=2)
+        json.dump(out, f, indent=2)
     print("MULTIHOST ok =", ok)
     if not ok:
         raise SystemExit(1)
