@@ -22,9 +22,11 @@ Two schedules:
   (the reference schedule, src/decoding/kernels.py:278-345).
 - "layered": the beyond-reference time-layered serial schedule of
   ops/bp_lift.decode_batch_lift_layered — even time slices' checks, then
-  odd, with posteriors recomputed between the halves. Edge messages hold R
-  (persistent across halves) and Q is recomputed from the resident
-  posteriors on the fly, so the schedule costs no extra VMEM state.
+  odd, with posteriors recomputed between the halves. Edge messages hold Q
+  (exactly like flooding); each half's committed R is reconstructed
+  bit-exactly from small saved stats (see _bp_kernel docstring), cutting
+  the sweep from 7 roll passes to 4 for a modest scratch cost
+  (3 stat slabs + 2*ceil(EB/32) packed-bit slabs).
 
 Convergence freezing uses a PACKED hard-decision plane: at a shot's first
 converged sweep its NB hard bits per grid slot are latched into one int32
@@ -91,7 +93,7 @@ def _roll_to_col(A, cx: int, cy: int, o: int, dead):
 def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
                syn_ref, prior_ref, cmaskw_ref, alpha_ref,
                vals_ref, done_ref, iters_ref, hardpack_ref,
-               msg_scr):
+               msg_scr, stats_scr=None, bits_scr=None):
     """One batch block, all BP iterations in VMEM.
 
     meta: (eb_pb, eb_cx, eb_cy, eb_o, NB) python statics.
@@ -105,7 +107,23 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
     done/iters_ref (1, Bb) int32
     hardpack_ref (ell, mm, T, Bb) int32 — bit pb = latched hard decision of
                  grid slot (pb, x, y, t) at the shot's first convergence
-    msg_scr      (EB, ell, mm, T, Bb) dt — Q (flooding) or R (layered)
+    msg_scr      (EB, ell, mm, T, Bb) dt — Q in BOTH schedules
+    stats_scr    (3, ell, mm, T, Bb) dt [layered only] — per-check m1, m2,
+                 alpha*sgn of each slice's LAST committed half-update
+    bits_scr     (2*ceil(EB/32), ell, mm, T, Bb) int32 [layered only] —
+                 per-edge is-min / q-sign bits of the last commit, packed
+                 over the edge axis like cmaskw
+
+    The layered schedule keeps Q resident (exactly like flooding) and
+    RECONSTRUCTS each edge's committed R on demand from the saved stats:
+    R[e] = (alpha*sgn)_saved * (sign_bit ? -1 : +1) * (ismin_bit ? m2 : m1)
+    — the identical f32 products the commit computed, so values are
+    bit-equal to storing R itself. That turns the sweep from 7 roll passes
+    (Q-build x2 per half, posterior rebuild per half, parity) into 4 (one
+    stats read pass with NO rolls + one roll-to-col commit pass + one
+    roll-to-check Q-update pass per half, with the parity fused into the
+    second half's Q-update pass). Measured A/B + bit-identity on hardware:
+    scripts/bp_layered_ab.py.
     """
     eb_pb, eb_cx, eb_cy, eb_o, NB = meta
     EB = len(eb_pb)
@@ -144,17 +162,28 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
         hardpack_ref[:] = jnp.where(keep > 0, hardpack_ref[:], hp)
         return done
 
+    wcm = -(-EB // 32)
     if schedule == "flooding":
         # init: Q0 = prior of the edge's column, at the edge's check position
         for e in range(EB):
             pv = prior_bc(eb_pb[e]).astype(dt)
             qc = _roll_to_check(pv, eb_cx[e], eb_cy[e], eb_o[e], big)
             msg_scr[e] = jnp.where(mk(e), qc, big_v)
-    else:  # layered: messages hold R, posteriors start at the priors
-        for e in range(EB):
-            msg_scr[e] = zero_v
+    else:
+        # layered: Q resident like flooding (the first half's Q is
+        # clip(V0 - R0) = clip(prior at the check position)); saved commit
+        # stats zeroed — SA = 0 reconstructs R = 0 exactly
         for pb in range(NB):
             vals_ref[pb] = prior_bc(pb)
+        for e in range(EB):
+            pv = prior_bc(eb_pb[e]).astype(dt)
+            qc = _roll_to_check(pv, eb_cx[e], eb_cy[e], eb_o[e], big)
+            q0 = jnp.minimum(jnp.maximum(qc, clip_lo_v), clip_hi_v)
+            msg_scr[e] = jnp.where(mk(e), q0, big_v)
+        for i in range(3):
+            stats_scr[i] = zero_v
+        for w in range(2 * wcm):
+            bits_scr[w] = jnp.zeros((ell, mm, T, Bb), jnp.int32)
     done_ref[:] = jnp.zeros((1, Bb), jnp.int32)
     iters_ref[:] = jnp.full((1, Bb), maxIter - 1, jnp.int32)
     hardpack_ref[:] = jnp.zeros((ell, mm, T, Bb), jnp.int32)
@@ -228,58 +257,93 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
         alpha = alpha_ref[it].astype(dt)
         # layer selector: even/odd position on the check-layout time axis
         t_idx = jax.lax.broadcasted_iota(jnp.int32, (ell, mm, T, Bb), 2)
+        zero_i = jnp.zeros((ell, mm, T, Bb), jnp.int32)
 
+        par = jnp.zeros((ell, mm, T, Bb), jnp.int32)
         for L in (0, 1):
-            # pass A: on-the-fly check statistics from Q = clip(V - R)
+            lm = (t_idx & 1) == L            # predicate only, never data
+            # pass 1: check stats straight from the RESIDENT Q — no rolls
+            # (Q was stored by the previous pass-3 as exactly the
+            # clip(V - R) the old schedule recomputed here)
             m1 = jnp.full((ell, mm, T, Bb), _BIG, dt)
             m2 = m1
             negs = jnp.zeros((ell, mm, T, Bb), jnp.int32)
             for e in range(EB):
-                vhc = _roll_to_check(vals_ref[eb_pb[e]].astype(dt),
-                                     eb_cx[e], eb_cy[e], eb_o[e], big)
-                q = jnp.minimum(jnp.maximum(vhc - msg_scr[e], clip_lo_v),
-                                clip_hi_v)
-                q = jnp.where(mk(e), q, big_v)
-                a = jnp.abs(q)
+                qe = msg_scr[e]
+                a = jnp.abs(qe)
                 a32 = a.astype(jnp.float32)
                 m2 = jnp.minimum(m2, jnp.where(a32 < m1.astype(jnp.float32),
                                                m1, a))
                 m1 = jnp.minimum(m1, a)
-                negs = negs + jnp.where(q.astype(jnp.float32) < 0.0, 1, 0)
+                negs = negs + jnp.where(qe.astype(jnp.float32) < 0.0, 1, 0)
             sgn = (1 - 2 * (negs & 1)).astype(dt) * sgn_syn
-            # pass B: recompute Q (V and R unchanged since pass A — exact),
-            # commit R on this layer's time slices only
-            for e in range(EB):
-                vhc = _roll_to_check(vals_ref[eb_pb[e]].astype(dt),
-                                     eb_cx[e], eb_cy[e], eb_o[e], big)
-                q = jnp.minimum(jnp.maximum(vhc - msg_scr[e], clip_lo_v),
-                                clip_hi_v)
-                q = jnp.where(mk(e), q, big_v)
-                q32 = q.astype(jnp.float32)
-                mag = jnp.where(jnp.abs(q32) == m1.astype(jnp.float32),
-                                m2, m1)
-                rpos = alpha * sgn * mag
-                r = jnp.where(q32 < 0.0, -rpos, rpos)
-                r = jnp.where(mk(e), r, zero_v)
-                msg_scr[e] = jnp.where((t_idx & 1) == L, r, msg_scr[e])
-            # pass C: posterior recompute from ALL layers' messages
+            sa_new = alpha * sgn             # (alpha*sgn)*mag association
+            # pass 2: commit this layer's R (reconstructing the other
+            # layer's from the saved stats) + full posterior rebuild
+            m1_s, m2_s, sa_s = stats_scr[0], stats_scr[1], stats_scr[2]
+            bit_old = [bits_scr[w] for w in range(2 * wcm)]
+            new_im = [zero_i for _ in range(wcm)]
+            new_sg = [zero_i for _ in range(wcm)]
             for pb in range(NB):
                 vals_ref[pb] = jnp.zeros((ell, mm, T, Bb), jnp.float32)
             for e in range(EB):
-                rc = _roll_to_col(msg_scr[e], eb_cx[e], eb_cy[e], eb_o[e],
+                qe = msg_scr[e]
+                q32 = qe.astype(jnp.float32)
+                is_min = jnp.abs(q32) == m1.astype(jnp.float32)
+                neg_q = q32 < 0.0
+                mag = jnp.where(is_min, m2, m1)
+                rpos = sa_new * mag
+                r_new = jnp.where(neg_q, -rpos, rpos)
+                r_new = jnp.where(mk(e), r_new, zero_v)
+                # previously committed R, reconstructed bit-exactly:
+                # same (alpha*sgn)*mag product, same sign select
+                imb = ((bit_old[e // 32] >> (e % 32)) & 1) > 0
+                sgb = ((bit_old[wcm + e // 32] >> (e % 32)) & 1) > 0
+                mag_o = jnp.where(imb, m2_s, m1_s)
+                rpos_o = sa_s * mag_o
+                r_old = jnp.where(sgb, -rpos_o, rpos_o)
+                r_old = jnp.where(mk(e), r_old, zero_v)
+                r_cur = jnp.where(lm, r_new, r_old)
+                rc = _roll_to_col(r_cur, eb_cx[e], eb_cy[e], eb_o[e],
                                   jnp.asarray(0.0, dt))
                 vals_ref[eb_pb[e]] = (vals_ref[eb_pb[e]]
                                       + rc.astype(jnp.float32))
+                bit_v = jnp.full((ell, mm, T, Bb), 1 << (e % 32), jnp.int32)
+                new_im[e // 32] = new_im[e // 32] + jnp.where(is_min, bit_v,
+                                                              zero_i)
+                new_sg[e // 32] = new_sg[e // 32] + jnp.where(neg_q, bit_v,
+                                                              zero_i)
             for pb in range(NB):
                 vals_ref[pb] = prior_bc(pb) + vals_ref[pb]
+            # latch this layer's commit stats/bits on its slices
+            stats_scr[0] = jnp.where(lm, m1, m1_s)
+            stats_scr[1] = jnp.where(lm, m2, m2_s)
+            stats_scr[2] = jnp.where(lm, sa_new, sa_s)
+            for w in range(wcm):
+                bits_scr[w] = jnp.where(lm, new_im[w], bit_old[w])
+                bits_scr[wcm + w] = jnp.where(lm, new_sg[w],
+                                              bit_old[wcm + w])
+            # pass 3: Q update from the fresh posteriors; the second
+            # half's V rolls double as the post-sweep parity (the old
+            # schedule paid a 7th standalone roll pass for it)
+            m1_s, m2_s, sa_s = stats_scr[0], stats_scr[1], stats_scr[2]
+            bit_s = [bits_scr[w] for w in range(2 * wcm)]
+            for e in range(EB):
+                vhc = _roll_to_check(vals_ref[eb_pb[e]].astype(dt),
+                                     eb_cx[e], eb_cy[e], eb_o[e], big)
+                imb = ((bit_s[e // 32] >> (e % 32)) & 1) > 0
+                sgb = ((bit_s[wcm + e // 32] >> (e % 32)) & 1) > 0
+                mag_c = jnp.where(imb, m2_s, m1_s)
+                rpos_c = sa_s * mag_c
+                r_cur = jnp.where(sgb, -rpos_c, rpos_c)
+                r_cur = jnp.where(mk(e), r_cur, zero_v)
+                qn = jnp.minimum(jnp.maximum(vhc - r_cur, clip_lo_v),
+                                 clip_hi_v)
+                msg_scr[e] = jnp.where(mk(e), qn, big_v)
+                if L == 1:
+                    par = par + jnp.where(
+                        mk(e) & (vhc.astype(jnp.float32) < 0.0), 1, 0)
 
-        # --- post-sweep syndrome parity ---
-        par = jnp.zeros((ell, mm, T, Bb), jnp.int32)
-        for e in range(EB):
-            vhc = _roll_to_check(vals_ref[eb_pb[e]].astype(dt),
-                                 eb_cx[e], eb_cy[e], eb_o[e], big)
-            par = par + jnp.where(mk(e)
-                                  & (vhc.astype(jnp.float32) < 0.0), 1, 0)
         eq = jnp.where((par & 1) == syn, 1, 0)
         ok = jnp.min(eq.reshape(ell * mm * T, Bb), axis=0,
                      keepdims=True)                       # (1, Bb)
@@ -299,7 +363,8 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
 
-def _state_bytes(g: LiftedGraph, msg_dtype, dbuf: int) -> int:
+def _state_bytes(g: LiftedGraph, msg_dtype, dbuf: int,
+                 schedule: str = "flooding") -> int:
     """Resident VMEM bytes for one 128-lane batch block: the EB edge
     slabs + the NB posterior output block + packed masks/prior/syndrome/
     hardpack windows; ``dbuf`` = 2 counts the revolving input/output
@@ -307,7 +372,9 @@ def _state_bytes(g: LiftedGraph, msg_dtype, dbuf: int) -> int:
     slab's second-minor (T) dim is sublane-padded to a multiple of 8
     (seen in the [[288]] allocation dump: f32[35,12,12,24,128] for
     T=20); window allocations are unpadded, but budgeting everything at
-    the padded size buys the right-sized safety margin."""
+    the padded size buys the right-sized safety margin. The layered
+    schedule adds its saved-commit scratch: 3 stat slabs + 2*ceil(EB/32)
+    packed-bit slabs."""
     dt = jnp.dtype(msg_dtype)
     T8 = -(-g.T // 8) * 8
     slab = g.ell * g.mm * T8 * 128 * max(dt.itemsize, 4)
@@ -316,6 +383,8 @@ def _state_bytes(g: LiftedGraph, msg_dtype, dbuf: int) -> int:
     # msg scratch + vals out + prior in + packed cmask in + syn in +
     # hardpack out + done/iters (negligible)
     slabs = EB + NB * dbuf + NB + wcm + dbuf + dbuf
+    if schedule == "layered":
+        slabs += 3 + 2 * wcm
     return slabs * slab
 
 
@@ -347,7 +416,7 @@ def viable_block_b(g: LiftedGraph, msg_dtype=jnp.float32,
     if budget_bytes is None:
         budget_bytes = (_LAYERED_BUDGET_BYTES if schedule == "layered"
                         else _BUDGET_BYTES)
-    if _state_bytes(g, msg_dtype, dbuf=1) > budget_bytes:
+    if _state_bytes(g, msg_dtype, dbuf=1, schedule=schedule) > budget_bytes:
         return None
     if B is None or B % 128 == 0:
         return 128
@@ -438,9 +507,12 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
                 jax.ShapeDtypeStruct((1, Bc), jnp.int32),
                 jax.ShapeDtypeStruct((ell, mm, T, Bc), jnp.int32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((EB, ell, mm, T, Bb), dt),
-            ],
+            scratch_shapes=(
+                [pltpu.VMEM((EB, ell, mm, T, Bb), dt)]
+                + ([pltpu.VMEM((3, ell, mm, T, Bb), dt),
+                    pltpu.VMEM((2 * (-(-EB // 32)), ell, mm, T, Bb),
+                               jnp.int32)]
+                   if schedule == "layered" else [])),
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=128 << 20),
             interpret=interpret,
@@ -449,7 +521,8 @@ def decode_batch_lift_pallas(g: LiftedGraph, syndrome, prior, alpha_seq,
     nb = B // Bb
     budget = (_LAYERED_BUDGET_BYTES if schedule == "layered"
               else _BUDGET_BYTES)
-    if nb > 1 and _state_bytes(g, msg_dtype, dbuf=2) > budget:
+    if nb > 1 and _state_bytes(g, msg_dtype, dbuf=2,
+                            schedule=schedule) > budget:
         # big graph: a multi-step grid double-buffers its revolving
         # windows past the VMEM budget — run one grid-1 call per 128-wide
         # block instead (blocks are serial either way). An UNROLLED python

@@ -309,7 +309,16 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
             u0 = B - jnp.sum((~covered).astype(jnp.int32))
             CH = 32
             W_f8 = -(-W_full // 8) * 8
-            S_r = min(CH, pick_block_shots(M_pad, W_f8))
+            # tail blocks are uniformly DEEP (only stage-1-uncovered shots
+            # land here), so a wide block costs ~the same per column as a
+            # narrow one but serves every shot in it — raise the VMEM
+            # budget so big-graph tails run the widest block the kernel's
+            # 100MB limit admits ([[288]]: S=16 at ~66MB resident vs the
+            # default budget's S=8); QLDPC_OSD_TAIL_MB overrides for A/B.
+            import os as _os
+            tail_mb = int(_os.environ.get("QLDPC_OSD_TAIL_MB", "78"))
+            S_r = min(CH, pick_block_shots(M_pad, W_f8,
+                                           vmem_budget=tail_mb << 20))
             while CH % S_r:
                 S_r //= 2
 

@@ -480,23 +480,27 @@ def eliminate_blocks(Hp, s, K: int, m: int, block_shots: int = 32,
     return out_hp, out_s, prow_of_col, used, colofrow
 
 
-def pick_block_shots(m_pad: int, W: int, vmem_budget: int = 26 << 20) -> int:
-    """Largest power-of-two shot block (<= 32) whose matrices fit the VMEM
+def pick_block_shots(m_pad: int, W: int, vmem_budget: int = 26 << 20,
+                     cap: int = 32) -> int:
+    """Largest power-of-two shot block (<= cap) whose matrices fit the VMEM
     budget (the kernel requests a raised vmem_limit_bytes). Accounts for the
     Mosaic 8-sublane padding of W and the grid pipeline's double buffering
     of the (aliased) matrix block.
 
-    Cap 32, not 64: elimination time = sum over blocks of (block exit depth
-    x per-step latency), and the per-step cost is latency-bound, nearly
-    independent of both S and W (S=64/W=40 vs S=64/W=8 measured 1.14x,
-    scripts/osd_panel_probe.py). Smaller blocks therefore cost little per
-    step but exit at their own sorted-difficulty depth instead of a larger
-    block's max: S=32 measured ~25%% faster than S=64 net of the dispatch
-    floor on [[144]] B=512 real failed shots; S=16/8 are flat vs 32
-    (scripts/osd_blockshots_sweep.py)."""
+    Default cap 32, not 64: elimination time = sum over blocks of (block
+    exit depth x per-step latency), and the per-step cost is latency-bound,
+    nearly independent of both S and W (S=64/W=40 vs S=64/W=8 measured
+    1.14x, scripts/osd_panel_probe.py). Smaller blocks therefore cost
+    little per step but exit at their own sorted-difficulty depth instead
+    of a larger block's max: S=32 measured ~25%% faster than S=64 net of
+    the dispatch floor on [[144]] B=512 real failed shots; S=16/8 are flat
+    vs 32 (scripts/osd_blockshots_sweep.py). Callers whose blocks are
+    uniformly DEEP (the staged tail on [[288]]-scale graphs) pass a larger
+    budget: the same step-latency argument means a wide block serves 4x
+    the shots at ~the same per-column cost."""
     W8 = _round_up(max(W, 8), 8) + (8 if _KERNEL_VERSION == 2 else 0)
     per_shot = m_pad * W8 * 4 * 2 + m_pad * 4 * 6  # 2x-buffered Hp + small
     if _KERNEL_VERSION == 3:
         per_shot *= 2  # dual-block interleave doubles the resident block
     s = max(1, vmem_budget // max(per_shot, 1))
-    return 1 << min(5, max(0, int(np.log2(s))))
+    return 1 << min(max(0, int(np.log2(cap))), max(0, int(np.log2(s))))
