@@ -279,14 +279,20 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
             sgn = (1 - 2 * (negs & 1)).astype(dt) * sgn_syn
             sa_new = alpha * sgn             # (alpha*sgn)*mag association
             # pass 2: commit this layer's R (reconstructing the other
-            # layer's from the saved stats) + full posterior rebuild
+            # layer's from the saved stats) + full posterior rebuild.
+            # Packed-bit words are handled LAZILY per 32-edge group (one
+            # old + one new word of each kind live at a time) to keep the
+            # loop's live vector state small — spill pressure is what
+            # keeps the layered body off [[288]]-sized slabs.
             m1_s, m2_s, sa_s = stats_scr[0], stats_scr[1], stats_scr[2]
-            bit_old = [bits_scr[w] for w in range(2 * wcm)]
-            new_im = [zero_i for _ in range(wcm)]
-            new_sg = [zero_i for _ in range(wcm)]
             for pb in range(NB):
                 vals_ref[pb] = jnp.zeros((ell, mm, T, Bb), jnp.float32)
+            im_old = sg_old = new_im = new_sg = None
             for e in range(EB):
+                if e % 32 == 0:
+                    w = e // 32
+                    im_old, sg_old = bits_scr[w], bits_scr[wcm + w]
+                    new_im, new_sg = zero_i, zero_i
                 qe = msg_scr[e]
                 q32 = qe.astype(jnp.float32)
                 is_min = jnp.abs(q32) == m1.astype(jnp.float32)
@@ -297,8 +303,8 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
                 r_new = jnp.where(mk(e), r_new, zero_v)
                 # previously committed R, reconstructed bit-exactly:
                 # same (alpha*sgn)*mag product, same sign select
-                imb = ((bit_old[e // 32] >> (e % 32)) & 1) > 0
-                sgb = ((bit_old[wcm + e // 32] >> (e % 32)) & 1) > 0
+                imb = ((im_old >> (e % 32)) & 1) > 0
+                sgb = ((sg_old >> (e % 32)) & 1) > 0
                 mag_o = jnp.where(imb, m2_s, m1_s)
                 rpos_o = sa_s * mag_o
                 r_old = jnp.where(sgb, -rpos_o, rpos_o)
@@ -309,30 +315,31 @@ def _bp_kernel(meta, maxIter: int, clip_llr: float, dt, schedule: str,
                 vals_ref[eb_pb[e]] = (vals_ref[eb_pb[e]]
                                       + rc.astype(jnp.float32))
                 bit_v = jnp.full((ell, mm, T, Bb), 1 << (e % 32), jnp.int32)
-                new_im[e // 32] = new_im[e // 32] + jnp.where(is_min, bit_v,
-                                                              zero_i)
-                new_sg[e // 32] = new_sg[e // 32] + jnp.where(neg_q, bit_v,
-                                                              zero_i)
+                new_im = new_im + jnp.where(is_min, bit_v, zero_i)
+                new_sg = new_sg + jnp.where(neg_q, bit_v, zero_i)
+                if e == EB - 1 or (e + 1) % 32 == 0:
+                    # flush this word group: keep old bits off-layer
+                    w = e // 32
+                    bits_scr[w] = jnp.where(lm, new_im, im_old)
+                    bits_scr[wcm + w] = jnp.where(lm, new_sg, sg_old)
             for pb in range(NB):
                 vals_ref[pb] = prior_bc(pb) + vals_ref[pb]
-            # latch this layer's commit stats/bits on its slices
+            # latch this layer's commit stats on its slices
             stats_scr[0] = jnp.where(lm, m1, m1_s)
             stats_scr[1] = jnp.where(lm, m2, m2_s)
             stats_scr[2] = jnp.where(lm, sa_new, sa_s)
-            for w in range(wcm):
-                bits_scr[w] = jnp.where(lm, new_im[w], bit_old[w])
-                bits_scr[wcm + w] = jnp.where(lm, new_sg[w],
-                                              bit_old[wcm + w])
             # pass 3: Q update from the fresh posteriors; the second
             # half's V rolls double as the post-sweep parity (the old
             # schedule paid a 7th standalone roll pass for it)
             m1_s, m2_s, sa_s = stats_scr[0], stats_scr[1], stats_scr[2]
-            bit_s = [bits_scr[w] for w in range(2 * wcm)]
+            im_s = sg_s = None
             for e in range(EB):
+                if e % 32 == 0:
+                    im_s, sg_s = bits_scr[e // 32], bits_scr[wcm + e // 32]
                 vhc = _roll_to_check(vals_ref[eb_pb[e]].astype(dt),
                                      eb_cx[e], eb_cy[e], eb_o[e], big)
-                imb = ((bit_s[e // 32] >> (e % 32)) & 1) > 0
-                sgb = ((bit_s[wcm + e // 32] >> (e % 32)) & 1) > 0
+                imb = ((im_s >> (e % 32)) & 1) > 0
+                sgb = ((sg_s >> (e % 32)) & 1) > 0
                 mag_c = jnp.where(imb, m2_s, m1_s)
                 rpos_c = sa_s * mag_c
                 r_cur = jnp.where(sgb, -rpos_c, rpos_c)

@@ -308,42 +308,43 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
             order2 = jnp.argsort(~covered, stable=True)        # (B,)
             u0 = B - jnp.sum((~covered).astype(jnp.int32))
             CH = 32
-            W_f8 = -(-W_full // 8) * 8
+            Wp8 = -(-(Kp // 32) // 8) * 8
             # tail blocks are uniformly DEEP (only stage-1-uncovered shots
-            # land here), so a wide block costs ~the same per column as a
-            # narrow one but serves every shot in it — raise the VMEM
-            # budget so big-graph tails run the widest block the kernel's
-            # 100MB limit admits ([[288]]: S=16 at ~66MB resident vs the
-            # default budget's S=8); QLDPC_OSD_TAIL_MB overrides for A/B.
+            # land here), so size them against a raised VMEM budget
+            # (QLDPC_OSD_TAIL_MB overrides for A/B; S=8 vs 16 measured
+            # FLAT on [[288]] — cost there tracks width, not block count,
+            # which is why the tail scans PREFIX-ONLY below).
             import os as _os
             tail_mb = int(_os.environ.get("QLDPC_OSD_TAIL_MB", "78"))
-            S_r = min(CH, pick_block_shots(M_pad, W_f8,
+            S_t = min(CH, pick_block_shots(M_pad, Wp8,
                                            vmem_budget=tail_mb << 20))
-            while CH % S_r:
-                S_r //= 2
+            while CH % S_t:
+                S_t //= 2
 
             def chunk_body(state):
                 c0, s_o, prow_o, used_o, cf_o = state
                 idx = jax.lax.dynamic_slice_in_dim(order2, c0, CH)
-                # full-width gather for just this chunk's shots
+                # PREFIX-ONLY gather for this chunk's shots: the appended
+                # rank-completing basis words (~W/2 of the full width on
+                # [[288]]) are dead weight in the hot XOR — the validity
+                # exit stops before them on every physical shot, and the
+                # rare prefix-deficient shot is completed by the shared
+                # basis rerun below, exactly like the non-staged path.
                 Hp_c = _gather_pref(jnp.take(colsK, idx, axis=0), Kp)
-                if basis_words is not None:
-                    Hp_c = jnp.concatenate(
-                        [Hp_c,
-                         jnp.broadcast_to(HbT[None], (CH,) + HbT.shape)],
-                        axis=1)
                 _, s2, prow2, used2, cf2 = eliminate_blocks(
-                    Hp_c, jnp.take(s_pad, idx, axis=0), KT, m,
-                    block_shots=S_r, rank=rank)
+                    Hp_c, jnp.take(s_pad, idx, axis=0), K, m,
+                    block_shots=S_t, rank=rank)
+                prow2p = jnp.pad(prow2, ((0, 0), (0, KT - K)),
+                                 constant_values=-1)
                 return (c0 + CH, s_o.at[idx].set(s2),
-                        prow_o.at[idx].set(prow2),
+                        prow_o.at[idx].set(prow2p),
                         used_o.at[idx].set(used2), cf_o.at[idx].set(cf2))
 
-            # boundary-chunk covered shots are rerun too: their full-width
+            # boundary-chunk covered shots are rerun too: their deeper-scan
             # outputs are consumed-identical (post-validity pivots carry
             # zero syndrome bits), so overwriting is safe
             c_start = (u0 // CH) * CH
-            _, s_out, prow_of_col, used_p, cf = jax.lax.while_loop(
+            _, s1, prow1p, used1, cf1 = jax.lax.while_loop(
                 lambda st: st[0] < B, chunk_body,
                 (c_start, s1, prow1p, used1, cf1))
         else:
@@ -354,36 +355,40 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
             # which fires iff some shot's prefix failed to cover its syndrome.
             # Results are bit-identical either way: covered shots never read
             # the basis; uncovered shots take the rerun's full-width answer.
-            hp1, s1, prow1, used1, cf1 = eliminate_blocks(
+            import os as _os
+            tail_mb = int(_os.environ.get("QLDPC_OSD_TAIL_MB", "78"))
+            _, s1, prow1, used1, cf1 = eliminate_blocks(
                 HpT_pref, s_pad, K, m, block_shots=S, rank=rank)
-        if staged:
-            pass  # staged path set s_out/prow_of_col/used_p/cf above
-        elif basis_words is not None:
-            unsat1 = jnp.sum(jnp.where(~used1[:, :m], s1[:, :m], 0), axis=1)
-            bad = unsat1 != 0                                     # (B,)
-            nbad = jnp.sum(bad.astype(jnp.int32))
-            W_f8 = -(-W_full // 8) * 8
-            S_r = min(B, pick_block_shots(M_pad, W_f8))
             prow1p = jnp.pad(prow1, ((0, 0), (0, KT - K)),
                              constant_values=-1)
-
-            # Basis rerun, narrowed to the shots that actually need it: a
-            # batch of ~400 failed shots at a ~0.2-0.7% per-shot prefix-
-            # deficiency rate trips the rerun cond most rounds, and the old
-            # full-batch rerun re-eliminated all B shots at full width
-            # (measured ~20ms/basis at B=512 on v5e — larger than the prefix
-            # elimination itself). Instead gather the <= S_r uncovered shots
-            # into one kernel block, rerun full width there, and scatter the
-            # results back; covered shots keep their prefix-only outputs
-            # (exactly the old keep_prefix semantics — the full-width run is
+        if basis_words is not None:
+            # Shared basis completion (staged AND non-staged): a batch of
+            # failed shots at a ~0.2-0.7% per-shot prefix-deficiency rate
+            # trips the rerun cond most rounds, and a full-batch rerun
+            # would re-eliminate all B shots at full width (measured
+            # ~20ms/basis at B=512 on v5e — larger than the prefix
+            # elimination itself). Instead gather the <= S_r uncovered
+            # shots into one kernel block, rerun full width there
+            # (prefix + basis), and scatter the results back; covered
+            # shots keep their prefix-only outputs (the full-width run is
             # consumed-output-identical for them anyway, see the kernel
             # docstring). Fill slots index B: the gather clamps them to a
             # real shot, the scatter drops them (out-of-bounds updates).
+            unsatp = jnp.sum(jnp.where(~used1[:, :m], s1[:, :m], 0), axis=1)
+            bad = unsatp != 0                                     # (B,)
+            nbad = jnp.sum(bad.astype(jnp.int32))
+            W_f8 = -(-W_full // 8) * 8
+            S_r = min(B, pick_block_shots(M_pad, W_f8,
+                                          vmem_budget=tail_mb << 20))
+
             def rerun_small(_):
                 idx = jnp.nonzero(bad, size=S_r, fill_value=B)[0]
                 gi = jnp.minimum(idx, B - 1).astype(jnp.int32)
+                pref_r = (jnp.take(HpT_pref, gi, axis=0)
+                          if HpT_pref is not None else
+                          _gather_pref(jnp.take(colsK, gi, axis=0), Kp))
                 Hp_r = jnp.concatenate(
-                    [jnp.take(HpT_pref, gi, axis=0),
+                    [pref_r,
                      jnp.broadcast_to(HbT[None], (S_r,) + HbT.shape)],
                     axis=1)
                 _, s2, prow2, used2, cf2 = eliminate_blocks(
@@ -406,7 +411,7 @@ def osd_batch(H, HT, syndrome, llr, hard, K: int, order: int = 0,
                                         op),
                 operand=None)
         else:
-            s_out, prow_of_col, used_p, cf = s1, prow1, used1, cf1
+            s_out, prow_of_col, used_p, cf = s1, prow1p, used1, cf1
         Hp = None  # only the (rare) reprocess path materializes it
         s_red = s_out[:, :m]
         used = used_p[:, :m]

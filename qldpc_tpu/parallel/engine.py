@@ -454,7 +454,7 @@ def make_pooled_round_fn(dec_z: BasisDecoder, dec_x: BasisDecoder,
         # flatten the round axis: (n_rounds, B, ...) -> (n_rounds*B, ...)
         flat = jax.tree.map(lambda v: v.reshape((-1,) + v.shape[2:]),
                             stacked)
-        return _pooled_osd_phase(flat, dec_z, dec_x, batch, osd_order,
+        return _pooled_osd_phase(flat, dec_z, dec_x, osd_order,
                                  use_pallas, chunk=osd_chunk)
 
     return pooled
@@ -479,19 +479,24 @@ def _sample_bp_phase(key, dec_z, dec_x, n_locs, error_rate, batch, maxIter,
     return per_basis
 
 
-def _pooled_osd_phase(flat, dec_z, dec_x, batch, osd_order, use_pallas,
+def _pooled_osd_phase(flat, dec_z, dec_x, osd_order, use_pallas,
                       chunk: int = None):
     """Pooled OSD + readout over the flattened multi-round BP state: the
-    post-scan half of a pooled round. ``batch`` is the PER-ROUND batch —
-    the default chunk size matches the per-round schedule's (RUNTIME
-    cond-count parity: the pooled phase evaluates n_rounds * (batch/chunk)
-    chunk conds per basis, the same number the scanned schedule evaluates
-    across its rounds — but they are unrolled at top level, so PROGRAM
-    SIZE grows ~n_rounds x vs the scan body's single set of call sites;
-    raise ``chunk`` for big-K codes if remote compile time regresses);
-    pass ``chunk`` to trade gating granularity against call sites."""
+    post-scan half of a pooled round.
+
+    The default chunk is POOL_WIDTH/8 (not the per-round batch/8): the
+    same-session [[144]] B=1024 rpd4 sweep measured 32: 7.3k, 64: 10.8k,
+    128: 12.3k, 256: 13.1k, 512: 13.6k, 1024: 12.7k, 2048: 12.0k,
+    4096: 10.1k shots/s (scripts/pooled_ab.py --configs pooled@cN,
+    2026-08-21) — finer chunks multiply per-chunk fixed cost (gather/
+    pack + call-site overhead) while converged shots inside a coarse
+    chunk are already ~free (all-zero-residual eliminator blocks exit
+    before scanning); beyond the knee the ungated gather/pack volume and
+    extra block launches win out. Fewer call sites also shrink the
+    unrolled program (compile-time bonus). Pass ``chunk`` to override."""
     if chunk is None:
-        chunk = batch if batch <= 64 else max(64, batch // 8)
+        pool = flat[0]["syn"].shape[0]
+        chunk = pool if pool <= 64 else max(64, pool // 8)
     out = {}
     for name, dec, st in (("z", dec_z, flat[0]), ("x", dec_x, flat[1])):
         delta, rdef = _osd_fallback(st["syn"], st["values"], st["hard"],
@@ -554,8 +559,7 @@ def make_multi_code_pooled_round_fn(specs, n_rounds: int):
         flat = jax.tree.map(lambda v: v.reshape((-1,) + v.shape[2:]),
                             stacked)
         return [
-            _pooled_osd_phase(flat[i], dz, dx, sp["batch"],
-                              sp["osd_order"], up)
+            _pooled_osd_phase(flat[i], dz, dx, sp["osd_order"], up)
             for i, (sp, (dz, dx), (up, _md, _bv))
             in enumerate(zip(specs, decs, defaults))]
 
