@@ -99,7 +99,7 @@ def _build(code_name, p, maxIter, osd_order):
 
 
 def bench_config(code_name, p, batch, rpd, maxIter, osd_order,
-                 bp_variant="minsum", seconds=8.0):
+                 bp_variant="minsum", seconds=8.0, osd_chunk=None):
     """Measured decode throughput for one code config. Returns
     (shots_per_sec, errors_seen, total_rounds, built objects)."""
     import jax
@@ -116,7 +116,8 @@ def bench_config(code_name, p, batch, rpd, maxIter, osd_order,
     if pooled:
         base_fn = make_pooled_round_fn(dec_z, dec_x, circ.num_error_locs,
                                        p, batch, maxIter, osd_order, rpd,
-                                       bp_variant=bp_variant)
+                                       bp_variant=bp_variant,
+                                       osd_chunk=osd_chunk)
         fn = jax.jit(base_fn)
     else:
         base_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs, p, batch,
@@ -383,9 +384,16 @@ def main():
             # is measured at the SAME maxIter so vs_baseline compares the
             # identical decoder config on both sides.
             mi288 = int(os.environ.get("BENCH_288_MAXITER", "200"))
+            # [[288]] decodes at ~82% BP-unconverged, so chunk-level OSD
+            # gating saves almost nothing while fine chunks multiply the
+            # (frequent there) prefix-deficiency basis reruns — one
+            # whole-pool chunk amortizes them (same-session A/B in
+            # CHUNK_SWEEP_288, 2026-08-21)
+            ch288 = int(os.environ.get("BENCH_288_OSD_CHUNK",
+                                       str(b288 * rpd288)))
             sps288, _e, _r, (c288, M288, dz288, dx288) = bench_config(
                 "[[288, 12, 18]]", 0.005, b288, rpd288, mi288, osd_order,
-                bp_variant=bp_variant)
+                bp_variant=bp_variant, osd_chunk=ch288)
             extra["[[288,12,18]]_p0.005_shots_per_sec"] = round(sps288, 1)
             extra["[[288,12,18]]_maxIter"] = mi288
             seq288 = alpha_schedule("dynamical", mi288)

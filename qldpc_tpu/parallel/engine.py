@@ -927,6 +927,7 @@ def run_simulation(
     rounds_per_dispatch: Optional[int] = None,
     verbose: bool = True, bp_variant: str = "minsum",
     osd_cross_round: Optional[bool] = None,
+    osd_chunk: Optional[int] = None,
     **bb_params,
 ) -> Dict[str, Any]:
     """Reference-compatible Monte-Carlo LER estimation (engine.py:193-203
@@ -1021,7 +1022,7 @@ def run_simulation(
         round_fn = make_pooled_round_fn(
             dec_z, dec_x, circ.num_error_locs, error_rate, batch_size,
             maxIter, osd_order, rounds_per_dispatch, damping,
-            bp_variant=bp_variant)
+            bp_variant=bp_variant, osd_chunk=osd_chunk)
     else:
         round_fn = make_round_fn(dec_z, dec_x, circ.num_error_locs,
                                  error_rate, batch_size, maxIter, osd_order,
