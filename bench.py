@@ -176,7 +176,7 @@ def native_baseline(cache_key, M, seq, maxIter, osd_order, n_syn=48):
 
 def stage_audit(circ, dec_z, dec_x, p, batch, maxIter, osd_order,
                 round_shots_per_sec, bp_variant="minsum", passes=4,
-                n_lo=1, n_hi=5):
+                n_lo=1, n_hi=5, audit_chunk=None):
     """Same-session per-stage ms + roofline figures for the bench config.
 
     Timing method — MARGINAL in-program cost, not standalone dispatches:
@@ -215,7 +215,12 @@ def stage_audit(circ, dec_z, dec_x, p, batch, maxIter, osd_order,
     use_pallas = jax.default_backend() != "cpu"
     use_kernel = use_pallas and g is not None and \
         viable_block_b(g, B=batch, schedule=schedule) is not None
-    chunk = batch if batch <= 64 else max(64, batch // 8)
+    # per-batch chunk matching the PRODUCTION pooled gating ratio: the
+    # engine gates at POOL/8 = (rpd*batch)/8; callers pass the equivalent
+    # per-batch chunk (batch/2 at rpd=4; the whole batch for [[288]]'s
+    # whole-pool setting) so the audited OSD stage is the production one
+    chunk = audit_chunk if audit_chunk else (
+        batch if batch <= 64 else max(64, batch // 8))
 
     # --- n_hi independently-sampled batches (stacked scan inputs: every
     # scan iteration sees fresh data, so XLA cannot hoist the body) ---
@@ -369,7 +374,8 @@ def main():
     try:
         audit = stage_audit(circ, dec_z, dec_x, 0.004, batch, maxIter,
                             osd_order, shots_per_sec,
-                            bp_variant=bp_variant)
+                            bp_variant=bp_variant,
+                            audit_chunk=max(64, batch * rpd // 8))
         extra["stage_audit_[[144,12,12]]"] = audit
     except Exception as e:  # pragma: no cover - audit must never kill bench
         extra["stage_audit_error"] = repr(e)
@@ -406,7 +412,8 @@ def main():
             try:
                 extra["stage_audit_[[288,12,18]]"] = stage_audit(
                     c288, dz288, dx288, 0.005, b288, mi288, osd_order,
-                    sps288, bp_variant=bp_variant, n_lo=1, n_hi=3)
+                    sps288, bp_variant=bp_variant, n_lo=1, n_hi=3,
+                    audit_chunk=min(ch288, b288))
             except Exception as e:  # pragma: no cover
                 extra["stage_audit_288_error"] = repr(e)
         except Exception as e:  # pragma: no cover
