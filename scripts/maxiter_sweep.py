@@ -60,6 +60,8 @@ def main():
     ap.add_argument("--pooled", action="store_true",
                     help="use the engine-default pooled (cross-round OSD "
                          "compaction) schedule instead of scanned rounds")
+    ap.add_argument("--osd-chunk", type=int, default=None,
+                    help="pooled OSD chunk override (None = POOL/8)")
     ap.add_argument("--variant", default="minsum",
                     help="bp_variant: minsum | layered | tanh; a comma "
                          "list interleaves variants in the same session "
@@ -95,7 +97,7 @@ def main():
             from qldpc_tpu.parallel.engine import make_pooled_round_fn
             fn = jax.jit(make_pooled_round_fn(
                 dz, dx, circ.num_error_locs, p, batch, mi, osd_order, rpd,
-                bp_variant=variant))
+                bp_variant=variant, osd_chunk=args.osd_chunk))
         else:
             base = make_round_fn(dz, dx, circ.num_error_locs, p, batch, mi,
                                  osd_order, bp_variant=variant)
